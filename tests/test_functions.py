@@ -1,0 +1,265 @@
+"""Scalar-function library (F1–F29 subset) vs pure-Python reference oracles,
+driven by the reference's own fixture corpora (tests/data/fx_*.json)."""
+
+from __future__ import annotations
+
+import html
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from psyndex2linkeddata_spark.data.tables import dd_codes
+from psyndex2linkeddata_spark.functions import cleaning, grants, instance_fields, lang, licenses, names, text, trials, urls
+from tests import oracles
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def load_corpus(name: str) -> list[str]:
+    with open(os.path.join(DATA, name)) as f:
+        return json.load(f)
+
+
+def corpus_df(spark, strings):
+    return spark.createDataFrame([Row(s=x) for x in strings])
+
+
+@pytest.fixture(scope="module")
+def all_corpora():
+    return (
+        load_corpus("fx_rplic.json")
+        + load_corpus("fx_rel.json")
+        + load_corpus("fx_testg.json")
+    )
+
+
+def test_replace_encodings_byte_exact(spark):
+    rows = [Row(s=f"before {raw} after") for raw, _ in dd_codes]
+    df = corpus_df(spark, [r.s for r in rows])
+    got = [r[0] for r in df.select(cleaning.replace_encodings(F.col("s"))).collect()]
+    want = [oracles.replace_encodings(r.s) for r in rows]
+    assert got == want
+
+
+def test_clean_text_matches_python_unescape(spark, all_corpora):
+    df = corpus_df(spark, all_corpora)
+    got = [r[0] for r in df.select(cleaning.clean_text(F.col("s"))).collect()]
+    want = [oracles.clean(s) for s in all_corpora]
+    assert got == want
+
+
+def test_subfield_and_mainfield_semantics(spark, all_corpora):
+    extra = [
+        "Wild, Benedict |c GERMANY |i Cognitive Neuroscience Lab",
+        "name only",
+        "|u https://osf.io/x2qh3/",
+        "a |f  |u https://doi.org/x |d ",
+        " double  spaces |i  inside  value ",
+        "|i first |i second |i third",
+    ]
+    strings = all_corpora + extra
+    df = corpus_df(spark, strings)
+    for sub in ["u", "d", "i", "c", "l", "n", "f"]:
+        got = [r[0] for r in df.select(cleaning.get_subfield(F.col("s"), sub)).collect()]
+        want = [oracles.get_subfield(s, sub) for s in strings]
+        assert got == want, f"subfield |{sub}"
+    got = [r[0] for r in df.select(cleaning.get_mainfield(F.col("s"))).collect()]
+    want = [oracles.get_mainfield(s) for s in strings]
+    assert got == want
+
+
+def test_check_for_url_or_doi_on_rplic_corpus(spark):
+    strings = [oracles.clean(s) for s in load_corpus("fx_rplic.json")]
+    # mainfield part is what the reference feeds it (research_info.py:838+)
+    strings = [oracles.get_mainfield(s) or s for s in strings]
+    df = corpus_df(spark, strings)
+    got = df.select(urls.check_for_url_or_doi(F.col("s")).alias("r")).collect()
+    want = [oracles.check_for_url_or_doi(s) for s in strings]
+    for g, w, s in zip(got, want, strings):
+        assert (g.r.value, g.r.type) == w, s
+
+
+def test_split_pages_variants(spark):
+    variants = [
+        "i-iii", "E14-E23", "B97-B109", "S389-S405", "F1-F9", "I/117-I/129",
+        "e12655", "e66", "Art. 1", "5-19", "122", "Insgesamt 162",
+        "No. e94617", "tgaa050", "No. 000010151520210111", "No. 310", "No. 2",
+        "No e99675", "1-10",
+    ]
+    df = corpus_df(spark, variants)
+    got = df.select(instance_fields.split_pages(F.col("s")).alias("p")).collect()
+    for row, s in zip(got, variants):
+        assert (
+            row.p.page_start, row.p.page_end, row.p.extent, row.p.article_number
+        ) == oracles.split_pages(s), s
+
+
+def test_split_series_variants(spark):
+    variants = [
+        "UTB, Band 5591", "essentials", "Psychologie Kompakt, Vol. 12",
+        "Tests und Trends, 19", "Reihe ohne Band, irgendwas",
+        "Schriftenreihe, Band 3 mit Zusatz",
+    ]
+    df = corpus_df(spark, variants)
+    got = df.select(instance_fields.split_series(F.col("s")).alias("p")).collect()
+    for row, s in zip(got, variants):
+        assert (row.p.series_title, row.p.series_volume) == oracles.split_series(s), s
+
+
+def test_issn_email_orcid(spark):
+    df = corpus_df(spark, ["2052-4463", "0033^DDS3042", " 1616-3443 ", "123-456", "2190-622x"])
+    got = [tuple(r) for r in df.select(
+        instance_fields.normalize_issn(F.col("s")),
+        instance_fields.issn_is_valid(F.col("s")),
+    ).collect()]
+    assert got[0] == ("2052-4463", True)
+    # reference quirk: replace_encodings maps ^DDS→'–' (en dash) BEFORE the
+    # ^DDS→'-' sub (helpers.py:313-315), so the hyphen repair never fires
+    assert got[1] == ("0033–3042", False)
+    assert got[2] == ("1616-3443", True)
+    assert got[3] == ("123-456", False)
+    assert got[4] == ("2190-622X", True)
+
+    df = corpus_df(spark, ["a.b @ uni.de", "not an email", "x y@z.org"])
+    got = [r[0] for r in df.select(instance_fields.clean_email(F.col("s"))).collect()]
+    assert got == ["a.b@uni.de", None, "x_y@z.org"]
+
+    df = corpus_df(spark, [
+        "https://orcid.org/0000-0002-5803-9923", "0000-0002-0004-784X", "junk",
+    ])
+    got = [r[0] for r in df.select(instance_fields.clean_orcid(F.col("s"))).collect()]
+    assert got == ["0000-0002-5803-9923", "0000-0002-0004-784X", None]
+
+
+def test_langtags(spark):
+    cases = {
+        "German": ("de", "ger"), "english": ("en", "eng"), "FREN": ("fr", "fra"),
+        "Silent": ("zxx", "zxx"), "Klingon": ("und", "und"), "Deutsch": ("de", "ger"),
+    }
+    df = corpus_df(spark, list(cases))
+    got = df.select(F.col("s"), lang.langtag2(F.col("s")), lang.langtag3(F.col("s"))).collect()
+    for s, t2, t3 in got:
+        assert (t2, t3) == cases[s]
+
+
+def test_guess_language_heuristic(spark):
+    df = corpus_df(spark, [
+        "Die Ergebnisse zeigen einen signifikanten Effekt der Intervention.",
+        "The results indicate a significant effect of the intervention.",
+        "12345",
+    ])
+    got = [r[0] for r in df.select(lang.guess_language(F.col("s"))).collect()]
+    assert got == ["de", "en", "und"]
+
+
+def test_camel_case(spark):
+    df = corpus_df(spark, ["Preschool Age", "school-age", "Very Old", "adulthood"])
+    got = [r[0] for r in df.select(text.camel_case(F.col("s"))).collect()]
+    assert got == ["preschoolAge", "schoolAge", "veryOld", "adulthood"]
+
+
+def test_title_casing_and_names(spark):
+    df = corpus_df(spark, ["der einfluss von achtsamkeit", "WHO report for DSM-IV"])
+    got = [r[0] for r in df.select(text.title_except(F.col("s"))).collect()]
+    assert got == ["Der Einfluss von Achtsamkeit", "WHO Report for DSM-IV"]
+
+    df = corpus_df(spark, ["Müller, Thomas", "Einname", "von Humboldt, Alexander"])
+    got = df.select(
+        names.family_name(F.col("s")),
+        names.given_name(F.col("s")),
+        names.normalize_name(names.family_name(F.col("s")), names.given_name(F.col("s"))),
+    ).collect()
+    assert tuple(got[0]) == ("Müller", "Thomas", "Mueller, T.")
+    assert tuple(got[1]) == ("Einname", None, "Einname")
+    assert tuple(got[2]) == ("von Humboldt", "Alexander", "von Humboldt, A.")
+
+
+def test_country_fixes(spark):
+    df = corpus_df(spark, ["COSTA", "CZECH", "PEOPLES", "Germany"])
+    got = [r[0] for r in df.select(names.sanitize_country_name(F.col("s"))).collect()]
+    assert got == ["Costa Rica", "Czech Republic", "People's Republic of China", "Germany"]
+
+
+def test_trial_numbers(spark):
+    df = corpus_df(spark, [
+        "Study preregistered under NCT01234567 and DRKS00001234",
+        "see ISRCTN12345678",
+        "nothing here",
+    ])
+    got = [r[0] for r in df.select(trials.extract_trial_numbers(F.col("s"))).collect()]
+    assert [(t.number, t.registry) for t in got[0]] == [
+        ("DRKS00001234", "drks"), ("NCT01234567", "clinical-trials-gov"),
+    ]
+    assert [(t.number, t.registry) for t in got[1]] == [("ISRCTN12345678", "srctn"), ("isrctn", "dutch-trial-register")] or \
+        [(t.number, t.registry) for t in got[1]][0] == ("ISRCTN12345678", "srctn")
+    assert got[2] == []
+
+
+def test_license_uri(spark):
+    df = spark.createDataFrame(
+        [
+            Row(c="CC BY 4.0", d=None),
+            Row(c="PUBL", d=None),
+            Row(c="XYZ", d="Volles Urheberrecht des Verlags bla"),
+            Row(c="Hogrefe OpenMind Lizenz", d=None),
+            Row(c="Exclusive Springer something", d=None),
+            Row(c="nonsense", d=None),
+        ]
+    )
+    got = [r[0] for r in df.select(licenses.license_uri(F.col("c"), F.col("d"))).collect()]
+    L = "https://w3id.org/zpid/vocabs/licenses/"
+    assert got == [L + "CC_BY_4_0", L + "PUBL", L + "PUBL", L + "HogrefeOpenMind", L + "ExclusiveSpringer", None]
+
+
+def test_grant_split_and_funder_canonicalization(spark):
+    df = corpus_df(spark, ["12345, 67890 and 13579", "1 und 2", "77 & 88; 99"])
+    got = [r[0] for r in df.select(grants.split_grant_numbers(F.col("s"))).collect()]
+    assert got == [["12345", "67890", "13579"], ["1", "2"], ["77", "88", "99"]]
+
+    df = corpus_df(spark, ["DFG", "German Research Council", "Unknown Funder e.V."])
+    out = [r[0] for r in df.select(grants.canonicalize_funder_name(F.col("s"))).collect()]
+    assert out[0] == "Deutsche Forschungsgemeinschaft (DFG)"
+    assert out[1] == "Deutsche Forschungsgemeinschaft (DFG)"
+    assert out[2] == "Unknown Funder e.V."
+
+    df = corpus_df(spark, ["Open Access funding via Projekt DEAL", "DFG grant"])
+    got = [r[0] for r in df.select(grants.is_grant_noise(F.col("s"))).collect()]
+    assert got == [True, False]
+
+
+def test_abstract_splits(spark):
+    df = corpus_df(spark, [
+        "Body text here. - Contents: 1. Intro 2. Methods",
+        "Plain abstract without toc.",
+        "Ein Abstract. – Inhalt: https://example.org/toc.pdf",
+    ])
+    got = df.select(text.split_toc(F.col("s")).alias("t")).collect()
+    assert got[0].t.abstract == "Body text here." and got[0].t.toc.startswith("1. Intro")
+    assert got[1].t.toc is None
+    assert got[2].t.toc_is_url is True
+
+    df = corpus_df(spark, [
+        "Abstract body. (translated by DeepL)",
+        "Abstract body. (c) 2022 Hogrefe",
+        "List (b) item then (c) something",
+        "No note at all",
+    ])
+    got = df.select(text.split_licensing_note(F.col("s")).alias("t")).collect()
+    assert got[0].t.note == "translated by DeepL" and got[0].t.abstract == "Abstract body."
+    assert got[1].t.note == "(c) 2022 Hogrefe" and got[1].t.abstract == "Abstract body."
+    assert got[2].t.note is None
+    assert got[3].t.note is None and got[3].t.abstract == "No note at all"
+
+
+def test_translated_title(spark):
+    df = corpus_df(spark, [
+        "Elektrophysiologischer Datensatz. (DeepL) |s German",
+        "A plain translated title |s English",
+        "No subfield at all",
+    ])
+    got = df.select(text.parse_translated_title(F.col("s")).alias("t")).collect()
+    assert got[0].t.title == "Elektrophysiologischer Datensatz." and got[0].t.lang_name == "German" and got[0].t.origin == "DeepL"
+    assert got[1].t.title == "A plain translated title" and got[1].t.lang_name == "English" and got[1].t.origin is None
+    assert got[2].t.title == "No subfield at all" and got[2].t.lang_name is None
