@@ -171,20 +171,34 @@ def make_record(i: int, seed: int = 42) -> dict:
         rec["ABH"] = "No abstract available."
         rec["ABLH"] = "English"
 
-    # --- terms / classification ---
+    # --- terms / classification (reference subfield layout: CT/IT carry
+    # "|e english |d german [|g x]" — terms.py:66-87; SH carries
+    # "|c code |e english |g german" — terms.py:170-178) ---
     n_ct = rng.randrange(2, 9)
     cts = rng.sample(pools.CT_TERMS, min(n_ct, len(pools.CT_TERMS)))
-    rec["CT"] = [f"{en} |d {de}" if rng.random() < 0.8 else en for en, de in cts]
+    rec["CT"] = [
+        f"|e {en} |d {de}" + (" |g x" if rng.random() < 0.25 else "")
+        if rng.random() < 0.85
+        else f"|d {de}"
+        for en, de in cts
+    ]
     if rng.random() < 0.5:
         its = rng.sample(pools.CT_TERMS, rng.randrange(1, 4))
-        rec["IT"] = [en for en, _de in its]
-    rec["SH"] = rng.sample(pools.SH_CODES, rng.randrange(1, 4))
+        rec["IT"] = [f"|e {en} |d {de}" for en, de in its]
+    rec["SH"] = [
+        f"|c {code} |e Heading {code} |g Überschrift {code}"
+        for code in rng.sample(pools.SH_CODES, rng.randrange(1, 4))
+    ]
     if rng.random() < 0.7:
         rec["AGE"] = rng.sample(pools.AGE_GROUPS, rng.randrange(1, 3))
     if rng.random() < 0.2:
         rec["PLOC"] = ["Germany" if rng.random() < 0.6 else rng.choice(["Austria", "Switzerland", "United States"])]
     if rng.random() < 0.75:
-        rec["CM"] = rng.sample(pools.CM_CODES_VALID, rng.randrange(1, 3))
+        # reference layout: CM carries the code in |c (publication_types.py:126)
+        rec["CM"] = [
+            f"|c {code} |e method {code}"
+            for code in rng.sample(pools.CM_CODES_VALID, rng.randrange(1, 3))
+        ]
 
     # --- journal / instance info ---
     if be == "UZ":
@@ -216,10 +230,16 @@ def make_record(i: int, seed: int = 42) -> dict:
             rec["DOI"] = _doi(rng)
     elif be in ("SS", "SM"):
         pu, place = rng.choice(pools.PUBLISHERS)
-        rec["PU"] = f"{pu} |o {place}"
+        # reference PU layout: |v publisher |o place |i print-isbn |e e-isbn
+        # (consumed via get_subfield in convert_starxml_to_bf.py:388-396,500-515)
+        rec["PU"] = f"|v {pu} |o {place}"
         rec["ISBN"] = f"978-3-{rng.randrange(100, 999)}-{rng.randrange(10000, 99999)}-{rng.randrange(10)}"
+        if rng.random() < 0.5:
+            rec["PU"] += f" |i {rec['ISBN']}"
         if rng.random() < 0.4:
             rec["EISBN"] = f"978-3-{rng.randrange(100, 999)}-{rng.randrange(10000, 99999)}-{rng.randrange(10)}"
+            if rng.random() < 0.5:
+                rec["PU"] += f" |e {rec['EISBN']}"
         rec["MT"] = "Print"
         if rng.random() < 0.4:
             rec["MT2"] = "Online Medium"

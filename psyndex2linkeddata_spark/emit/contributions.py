@@ -1,0 +1,148 @@
+"""N3/N4 — person & corporate contribution emitters (SURVEY §2.6).
+
+Reference: /root/reference/modules/contributions.py —
+generate_bf_contribution_node (:224-257), add_bf_contributor_person
+(:261-398), build_affiliation_nodes (:37-222),
+add_bf_contributor_corporate_body (:685-762), and the record-local
+matchers J9-J12 (:408-682, resolved in emit/normalize.py).
+
+The per-record loop with its shared-graph re-reads becomes one
+`flatten(transform(contribs, …))` array expression — all codegen.
+The 190-row geonames country table (J16) is inlined as a literal map
+(it's static reference data, /root/reference/modules/mappings.py:501-693);
+big authorities (ROR) go through real broadcast joins in operators/linking.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import Column, functions as F
+
+from psyndex2linkeddata_spark import namespaces as NS
+from psyndex2linkeddata_spark.data.tables import geonames_countries
+from psyndex2linkeddata_spark.emit.base import T, cleaned, frag, mainfield, pack_arr, subfield, subfrag
+
+def W():
+    return F.col("work")
+
+def _GEO_NAME():
+    return F.create_map(
+    *chain.from_iterable(
+        (F.lit(name.casefold()), F.lit(name)) for name, _gid, _iso in geonames_countries
+    )
+)
+def _GEO_ID():
+    return F.create_map(
+    *chain.from_iterable(
+        (F.lit(name.casefold()), F.lit(gid)) for name, gid, _iso in geonames_countries
+    )
+)
+
+
+def geonames_name(country: Column) -> Column:
+    """J16 canonical name: casefold first-match
+    (/root/reference/modules/helpers.py:378-382)."""
+    return _GEO_NAME()[F.lower(F.trim(country))]
+
+
+def geonames_id(country: Column) -> Column:
+    return _GEO_ID()[F.lower(F.trim(country))]
+
+
+def _affiliation_triples(c: Column, cnode: Column, agent: Column) -> Column:
+    """build_affiliation_nodes (/root/reference/modules/contributions.py:37-222):
+
+    agent_affiliation1 a mads:Affiliation ← contribution mads:hasAffiliation;
+    …_organization a bf:Organization with rdfs:label (ROR id joined later in
+    operators/linking); …_address a mads:Address (only with a country) with
+    …_country a mads:Country whose label is geonames-improved (graph.set →
+    last-wins = we emit only the final value) + _geonamesid a locid:geonames.
+    """
+    has_any = c["org"].isNotNull() | c["country"].isNotNull()
+    aff = F.when(has_any, subfrag(agent, "affiliation1"))
+    org = F.when(c["org"].isNotNull(), subfrag(aff, "organization"))
+    addr = F.when(c["country"].isNotNull(), subfrag(aff, "address"))
+    country_node = subfrag(addr, "country")
+    geo_name = geonames_name(c["country"])
+    geo_id = geonames_id(c["country"])
+    country_label = F.coalesce(geo_name, c["country"])
+    geo_node = F.when(geo_id.isNotNull(), subfrag(country_node, "geonamesid"))
+    return F.array(
+        T(cnode, NS.MADS + "hasAffiliation", aff, iri=True),
+        T(aff, NS.RDF_TYPE, NS.MADS + "Affiliation", iri=True),
+        T(aff, NS.MADS + "organization", org, iri=True),
+        T(org, NS.RDF_TYPE, NS.BF + "Organization", iri=True),
+        T(org, NS.RDFS_LABEL, F.when(org.isNotNull(), c["org"])),
+        T(aff, NS.MADS + "hasAffiliationAddress", addr, iri=True),
+        T(addr, NS.RDF_TYPE, NS.MADS + "Address", iri=True),
+        T(addr, NS.MADS + "country", F.when(addr.isNotNull(), country_node), iri=True),
+        T(F.when(addr.isNotNull(), country_node), NS.RDF_TYPE, NS.MADS + "Country", iri=True),
+        T(F.when(addr.isNotNull(), country_node), NS.RDFS_LABEL, country_label),
+        T(F.when(addr.isNotNull(), country_node), NS.BF + "identifiedBy", geo_node, iri=True),
+        T(geo_node, NS.RDF_TYPE, NS.LOCID + "geonames", iri=True),
+        T(geo_node, NS.RDF + "value", F.when(addr.isNotNull(), geo_id)),
+    )
+
+
+def contributions() -> Column:
+    """One contribution per parsed `contribs` element:
+
+    work#contribution{pos} a bf:Contribution (+ bflc:PrimaryContribution at
+    pos 1), pxp:contributionPosition (xsd:integer), bf:qualifier
+    first/middle/last, bf:role roles:AU (graph.set site → single value),
+    agent node _personagent a bf:Person (label, schema names, _orcid a
+    locid:orcid, _psychauthorsid a pxc:PsychAuthorsID) or _orgagent a
+    bf:Organization; mads:email mailto IRI on the contribution node.
+    """
+
+    def one(c: Column) -> Column:
+        cnode = frag(W(), "contribution", c["pos"])
+        is_person = c["kind"] == "person"
+        agent = F.when(is_person, subfrag(cnode, "personagent")).otherwise(
+            subfrag(cnode, "orgagent")
+        )
+        orcid_node = F.when(c["orcid"].isNotNull(), subfrag(agent, "orcid"))
+        paup_node = F.when(c["paup_id"].isNotNull(), subfrag(agent, "psychauthorsid"))
+        base = F.array(
+            T(W(), NS.BF + "contribution", cnode, iri=True),
+            T(cnode, NS.RDF_TYPE, NS.BF + "Contribution", iri=True),
+            T(
+                cnode,
+                NS.RDF_TYPE,
+                F.when(c["pos"] == 1, F.lit(NS.BFLC + "PrimaryContribution")),
+                iri=True,
+            ),
+            T(cnode, NS.PXP + "contributionPosition", c["pos"], dtype=NS.XSD_INTEGER),
+            T(cnode, NS.BF + "qualifier", c["qualifier"]),
+            T(cnode, NS.BF + "role", NS.ROLES + "AU", iri=True),
+            T(
+                cnode,
+                NS.MADS + "email",
+                F.when(c["email"].isNotNull(), F.concat(F.lit("mailto:"), c["email"])),
+                iri=True,
+            ),
+            T(cnode, NS.BF + "agent", agent, iri=True),
+            T(
+                agent,
+                NS.RDF_TYPE,
+                F.when(is_person, F.lit(NS.BF + "Person")).otherwise(
+                    F.lit(NS.BF + "Organization")
+                ),
+                iri=True,
+            ),
+            T(agent, NS.RDFS_LABEL, c["name"]),
+            T(agent, NS.SCHEMA + "familyName", F.when(is_person, c["family"])),
+            T(agent, NS.SCHEMA + "givenName", F.when(is_person, c["given"])),
+            # ORCID identifier (J10 exact tier resolved in normalize)
+            T(agent, NS.BF + "identifiedBy", orcid_node, iri=True),
+            T(orcid_node, NS.RDF_TYPE, NS.LOCID + "orcid", iri=True),
+            T(orcid_node, NS.RDF + "value", c["orcid"]),
+            # PsychAuthors identifier (J9 exact tier)
+            T(agent, NS.BF + "identifiedBy", paup_node, iri=True),
+            T(paup_node, NS.RDF_TYPE, NS.PXC + "PsychAuthorsID", iri=True),
+            T(paup_node, NS.RDF + "value", c["paup_id"]),
+        )
+        return F.concat(base, _affiliation_triples(c, cnode, agent))
+
+    return pack_arr(F.flatten(F.transform(F.col("contribs"), one)))

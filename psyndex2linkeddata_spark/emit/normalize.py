@@ -1,0 +1,305 @@
+"""Stage 2 — normalize: records → records + parsed mention columns.
+
+Parses the repeated subfield-encoded strings into typed struct arrays once,
+so every emitter downstream is a pure projection. All record-local matching
+(ORCID↔AUP, PAUP↔AUP, EMID↔AUP — J9-J11 in SURVEY §2.4,
+/root/reference/modules/contributions.py:408-645) happens here as array
+expressions: the reference loops over the graph per record; we never leave
+codegen. The fuzzy tier of those matchers lives in operators/linking.py;
+here the exact tier (casefolded name equality) resolves the overwhelming
+majority, matching the reference's short-circuit-on-exact behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from psyndex2linkeddata_spark.emit.base import bundle_uri, cleaned, mainfield, subfield, work_uri
+from psyndex2linkeddata_spark.functions.cleaning import (nullif_empty)
+from psyndex2linkeddata_spark.functions.instance_fields import clean_email, clean_orcid
+from psyndex2linkeddata_spark.functions.names import (
+    family_name,
+    given_name,
+    sanitize_country_name,
+)
+
+
+def _norm_name(c: Column) -> Column:
+    """Casefolded exact-match key for the record-local name matchers."""
+    return F.lower(F.trim(c))
+
+
+def _match_subfield(arr_field: Column, person_name: Column, sub: str) -> Column:
+    """First |{sub} subfield among entries of `arr_field` whose mainfield
+    equals `person_name` (casefolded). Record-local exact tier of J9-J11."""
+    matches = F.filter(
+        F.coalesce(arr_field, F.array()),
+        lambda s: _norm_name(mainfield(s)) == _norm_name(person_name),
+    )
+    return F.when(
+        F.size(matches) > 0, subfield(F.element_at(matches, 1), sub)
+    )
+
+
+def contributions_col(df: DataFrame) -> Column:
+    """array<struct> of person + corporate contributions, AUP before AUK,
+    1-based positions across both (A1, /root/reference/modules/
+    contributions.py:224-257,687-691), with:
+
+    - qualifier first/middle/last by position vs total (F29, :240-255)
+    - ORCID |u matched by name (J10, :500-576), cleaned/validated (F18)
+    - PAUP |n psychauthors id matched by name (J9, :408-498)
+    - EMAIL via EMID name match, else attached to contribution 1
+      (J11, :579-645)
+    - record-level CS/COU affiliation attached to contribution 1 when the
+      person has no |i affiliation (J12, :647-682)
+    """
+    n_aup = F.size(F.coalesce(F.col("AUP"), F.array()))
+    total = n_aup + F.size(F.coalesce(F.col("AUK"), F.array()))
+
+    def qualifier(pos: Column) -> Column:
+        return (
+            F.when(pos == 1, F.lit("first"))
+            .when(pos == total, F.lit("last"))
+            .otherwise(F.lit("middle"))
+        )
+
+    def person(s: Column, i: Column) -> Column:
+        pos = i + 1
+        name = mainfield(s)
+        email_by_name = F.when(
+            _norm_name(F.coalesce(mainfield(F.col("EMID")), F.lit("")))
+            == _norm_name(name),
+            clean_email(F.col("EMAIL")),
+        )
+        # J11 fallback: EMID present but matching nobody → first contribution;
+        # no EMID at all → first contribution too (reference :637-645).
+        email_fallback = F.when(
+            (pos == 1)
+            & (
+                F.col("EMID").isNull()
+                | ~F.exists(
+                    F.coalesce(F.col("AUP"), F.array()),
+                    lambda a: _norm_name(mainfield(a))
+                    == _norm_name(mainfield(F.col("EMID"))),
+                )
+            ),
+            clean_email(F.col("EMAIL")),
+        )
+        own_org = subfield(s, "i")
+        own_country = sanitize_country_name(subfield(s, "c"))
+        # J12 (reference match_CS_COU_affiliations_to_first_contribution,
+        # contributions.py:647-682): record-level CS+COU — both required —
+        # attach to contribution 1; we take them only when AUP carries no
+        # own |i/|c (the reference would write onto the same affiliation1
+        # node URI; this keeps one source of truth per node).
+        cs_applies = (
+            (pos == 1)
+            & own_org.isNull()
+            & own_country.isNull()
+            & nullif_empty(F.col("CS")).isNotNull()
+            & nullif_empty(F.col("COU")).isNotNull()
+        )
+        return F.struct(
+            pos.alias("pos"),
+            F.lit("person").alias("kind"),
+            cleaned(name).alias("name"),
+            family_name(cleaned(name)).alias("family"),
+            given_name(cleaned(name)).alias("given"),
+            qualifier(pos).alias("qualifier"),
+            F.coalesce(
+                own_org, F.when(cs_applies, cleaned(nullif_empty(F.col("CS"))))
+            ).alias("org"),
+            F.coalesce(
+                own_country,
+                F.when(cs_applies, cleaned(nullif_empty(F.col("COU")))),
+            ).alias("country"),
+            clean_orcid(_match_subfield(F.col("ORCID"), name, "u")).alias("orcid"),
+            _match_subfield(F.col("PAUP"), name, "n").alias("paup_id"),
+            F.coalesce(email_by_name, email_fallback).alias("email"),
+        )
+
+    def corporate(s: Column, i: Column) -> Column:
+        pos = n_aup + i + 1
+        name = mainfield(s)
+        return F.struct(
+            pos.alias("pos"),
+            F.lit("org").alias("kind"),
+            cleaned(name).alias("name"),
+            F.lit(None).cast("string").alias("family"),
+            F.lit(None).cast("string").alias("given"),
+            qualifier(pos).alias("qualifier"),
+            F.lit(None).cast("string").alias("org"),
+            subfield(s, "c").alias("country"),
+            F.lit(None).cast("string").alias("orcid"),
+            F.lit(None).cast("string").alias("paup_id"),
+            F.lit(None).cast("string").alias("email"),
+        )
+
+    return F.concat(
+        F.transform(F.coalesce(F.col("AUP"), F.array()), person),
+        F.transform(F.coalesce(F.col("AUK"), F.array()), corporate),
+    )
+
+
+# media-type label → (pmt suffix, RDA media code, RDA carrier code); reference
+# mediacarrier mapping /root/reference/modules/publication_types.py:675-800.
+_MEDIA = {
+    "Print": ("Print", "n", "nc"),
+    "Online Medium": ("Online", "c", "cr"),
+    "eBook": ("Online", "c", "cr"),
+}
+
+
+def instances_col(df: DataFrame) -> Column:
+    """array<struct<n, mediacarrier, media_code, carrier_code>> from MT/MT2
+    (N16, /root/reference/convert_starxml_to_bf.py:1310-1420): instance 1
+    always exists (mediacarrier NULL when MT missing/unknown — the reference
+    skips the mediaCarrier triples then); instance 2 only when MT2 present."""
+
+    def inst(mt: Column, n: Column) -> Column:
+        pmt = F.lit(None).cast("string")
+        media = F.lit(None).cast("string")
+        carrier = F.lit(None).cast("string")
+        for k, (p, m, c) in _MEDIA.items():
+            pmt = F.when(mt == k, F.lit(p)).otherwise(pmt)
+            media = F.when(mt == k, F.lit(m)).otherwise(media)
+            carrier = F.when(mt == k, F.lit(c)).otherwise(carrier)
+        return F.struct(
+            n.alias("n"),
+            pmt.alias("mediacarrier"),
+            media.alias("media_code"),
+            carrier.alias("carrier_code"),
+        )
+
+    first = inst(F.trim(F.col("MT")), F.lit(1))
+    second = inst(F.trim(F.col("MT2")), F.lit(2))
+    return F.when(
+        F.col("MT2").isNotNull(), F.array(first, second)
+    ).otherwise(F.array(first))
+
+
+def _checked(value: Column) -> Column:
+    """F3 struct(value, type) — imported lazily to avoid import cycles."""
+    from psyndex2linkeddata_spark.functions.urls import check_for_url_or_doi
+
+    return check_for_url_or_doi(value)
+
+
+def _dedup_urls(dois: Column, urls: Column) -> Column:
+    """A3 (research_info.py:386-406): drop a url containing one of the dois
+    or the OSF shortcode of an OSF doi."""
+
+    def keep(u: Column) -> Column:
+        contains_doi = F.exists(dois, lambda d: u.contains(d))
+        osf = F.exists(
+            dois,
+            lambda d: d.contains("OSF.IO/")
+            & u.contains("osf.io")
+            & u.contains(F.lower(F.element_at(F.split(d, "/"), 3))),
+        )
+        return ~(contains_doi | osf)
+
+    return F.filter(urls, keep)
+
+
+def id_sets(values: Column) -> Column:
+    """struct(dois, urls, unknowns) from an array of raw strings via F3 +
+    A3 dedup; distinct, insertion-ordered (mirrors the reference's set()
+    usage — Python sets of ≤3 elements here, order is by first-seen)."""
+    checked = F.transform(F.filter(values, lambda v: v.isNotNull()), _checked)
+    dois = F.array_distinct(
+        F.transform(F.filter(checked, lambda c: c["type"] == "doi"), lambda c: c["value"])
+    )
+    urls = F.array_distinct(
+        F.transform(F.filter(checked, lambda c: c["type"] == "url"), lambda c: c["value"])
+    )
+    unknowns = F.array_distinct(
+        F.transform(
+            F.filter(
+                checked,
+                lambda c: (c["type"] == "unknown")
+                & c["value"].isNotNull()
+                & (F.trim(c["value"]) != ""),
+            ),
+            lambda c: c["value"],
+        )
+    )
+    return F.struct(
+        dois.alias("dois"),
+        _dedup_urls(dois, urls).alias("urls"),
+        unknowns.alias("unknowns"),
+    )
+
+
+def relation_mentions() -> dict[str, Column]:
+    """Heavy parsed columns for the relation emitters (N9-N14). Hoisted into
+    the normalize projection so the expensive F3 subtrees become column
+    ATTRIBUTES downstream — CollapseProject keeps multi-referenced non-cheap
+    aliases in their own projection, which keeps the optimized plan ~100×
+    smaller than inlining (measured: 190s → seconds of planning)."""
+    datac_ids = F.transform(
+        F.coalesce(F.col("DATAC"), F.array()),
+        lambda s: id_sets(F.array(subfield(s, "u"), subfield(s, "d"))),
+    )
+    urlai_ids = F.transform(
+        F.coalesce(F.col("URLAI"), F.array()),
+        lambda s: id_sets(F.array(F.trim(s))),
+    )
+    prereg_entries = F.transform(
+        F.coalesce(F.col("PRREG"), F.array()),
+        lambda s, i: F.struct(
+            (i + 1).alias("n"),
+            id_sets(F.array(subfield(s, "u"), subfield(s, "d"))).alias("ids"),
+            subfield(s, "i").alias("note"),
+        ),
+    )
+    rplic_parsed = F.transform(
+        F.coalesce(F.col("RPLIC"), F.array()),
+        lambda s: F.struct(
+            F.trim(s).alias("cstr"),
+            subfield(s, "f").alias("dfk"),
+            id_sets(
+                F.array(subfield(s, "d"), subfield(s, "u"), mainfield(s))
+            ).alias("ids"),
+        ),
+    )
+    rel_parsed = F.transform(
+        F.coalesce(F.col("REL"), F.array()),
+        lambda s: F.struct(
+            F.trim(s).alias("cstr"),
+            subfield(s, "b").alias("b"),
+            _checked(F.trim(s)).alias("checked"),
+            subfield(s, "t").alias("title"),
+            subfield(s, "a").alias("author"),
+            subfield(s, "j").alias("year"),
+            subfield(s, "q").alias("source"),
+        ),
+    )
+    doi_checked = _checked(F.col("DOI"))
+    return {
+        "datac_ids": datac_ids,
+        "urlai_ids": urlai_ids,
+        "prereg_entries": prereg_entries,
+        "rplic_parsed": rplic_parsed,
+        "rel_parsed": rel_parsed,
+        "doi_checked": doi_checked,
+    }
+
+
+def normalize(records: DataFrame) -> DataFrame:
+    """records → + work/bundle URI columns + parsed mention structs.
+
+    Drops records without a DFK (the reference cannot mint URIs for them
+    either) — everything downstream keys on `work` / `bundle`.
+    """
+    out = (
+        records.where(F.col("DFK").isNotNull())
+        .withColumn("work", work_uri(F.col("DFK")))
+        .withColumn("bundle", bundle_uri(F.col("DFK")))
+        .withColumn("contribs", contributions_col(records))
+        .withColumn("instances", instances_col(records))
+    )
+    for name, col in relation_mentions().items():
+        out = out.withColumn(name, col)
+    return out

@@ -11,6 +11,7 @@ BFLC = "http://id.loc.gov/ontologies/bflc/"
 MADS = "http://www.loc.gov/mads/rdf/v1#"
 SCHEMA = "https://schema.org/"
 RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+SKOS = "http://www.w3.org/2004/02/skos/core#"
 RDFS = "http://www.w3.org/2000/01/rdf-schema#"
 OWL = "http://www.w3.org/2002/07/owl#"
 XSD = "http://www.w3.org/2001/XMLSchema#"
