@@ -1,0 +1,97 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+  {"metric": "kg_triples_per_sec", "value": N, "unit": "triples/sec",
+   "queries": {name: seconds, ...}, "sf": 0.1, ...}
+
+Timings force FULL materialization via the noop sink (df.count() would let
+Catalyst prune the computed columns). The headline metric is KG-pipeline
+throughput (pages → deduplicated triples) on a synthetic corpus sized by
+$SPARK_GRAFT_PAGES (default 20000) — the `triples/sec` target from
+BASELINE.json. tools/scaling_bench.py reruns this at two parallelism
+levels for the N-vs-4N efficiency evidence (BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", "20000"))
+
+BENCH_QUERIES = [
+    "kg_triples",
+    "pricing_summary",
+    "top_customers",
+    "sessionize",
+    "minhash_lsh",
+    "ngram_jaccard",
+    "simhash",
+    "embedding_topk",
+    "lang_id",
+    "quality",
+    "token_counts",
+    "fingerprints",
+    "connected_components",
+    "last_wins",
+]
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from psyndex2linkeddata_spark.datagen.pages import write_pages_parquet
+    from psyndex2linkeddata_spark.plans.pipeline import build_triples
+    from psyndex2linkeddata_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+
+    results: dict[str, float] = {}
+    queries = entrymod.queries()
+    for name in BENCH_QUERIES:
+        # construction is inside the timer: iterative operators (connected
+        # components) do their driver-loop work during construction
+        t0 = time.time()
+        df = queries[name](spark, SF_DIR)
+        _noop_write(df)
+        results[name] = round(time.time() - t0, 3)
+
+    # headline: full KG pipeline throughput on a synthetic pages corpus
+    d = tempfile.mkdtemp(prefix="bench_pages_")
+    pages_path = os.path.join(d, "pages.parquet")
+    write_pages_parquet(pages_path, N_PAGES)
+    pages = spark.read.parquet(pages_path)
+    triples = build_triples(pages)
+    t0 = time.time()
+    _noop_write(triples)
+    pipeline_s = time.time() - t0
+    n_triples = triples.count()  # plan is warm; cheap second pass
+    results["kg_pipeline"] = round(pipeline_s, 3)
+
+    out = {
+        "metric": "kg_triples_per_sec",
+        "value": round(n_triples / pipeline_s, 1),
+        "unit": "triples/sec",
+        "queries": results,
+        "sf": sf,
+        "cpus": CPUS,
+        "pages": N_PAGES,
+        "n_triples": n_triples,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

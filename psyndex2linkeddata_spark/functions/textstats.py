@@ -1,0 +1,106 @@
+"""Text-analysis functions for training-data pipelines (documents table):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All native column expressions (codegen); language-ID reuses the de/en
+stopword heuristic from functions/lang.py (the engine's deterministic
+stand-in for the reference's langid wrapper, helpers.py:159-165).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from psyndex2linkeddata_spark.functions.lang import (
+    _DE_STOPWORDS,
+    _EN_STOPWORDS,
+    _stopword_hits,
+    guess_language,
+)
+
+lang_id = guess_language  # F5 surface for documents
+
+# BPE-ish tokenization: words, numbers, or single punctuation marks —
+# approximates a byte-pair tokenizer's pre-tokenization split.
+BPE_SPLIT_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
+
+
+def whitespace_token_count(col: Column) -> Column:
+    return F.size(
+        F.filter(F.split(F.trim(col), r"\s+"), lambda t: F.length(t) > 0)
+    )
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-style pre-tokens (letters runs, digit runs, punct)."""
+    return F.size(
+        F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(BPE_SPLIT_RE), F.lit(0))
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(col, r"[\p{L}\p{N}\s]", ""))
+    return n_punct / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(col: Column) -> Column:
+    hits = _stopword_hits(col, _DE_STOPWORDS + _EN_STOPWORDS)
+    return hits / F.greatest(whitespace_token_count(col), F.lit(1))
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = F.filter(F.split(F.trim(col), r"\s+"), lambda t: F.length(t) > 0)
+    return F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards stopword density and
+    sane token lengths, penalizes punctuation soup and very short docs.
+    struct(n_chars, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
+    score)."""
+    n_chars = F.length(col)
+    n_tokens = whitespace_token_count(col)
+    p = punct_ratio(col)
+    s = stopword_ratio(col)
+    m = mean_token_len(col)
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.25
+        + F.least(s * F.lit(2.0), F.lit(1.0)) * 0.35
+        + F.when((m >= 3) & (m <= 10), F.lit(1.0)).otherwise(F.lit(0.3)) * 0.2
+        + (F.lit(1.0) - F.least(p * F.lit(4.0), F.lit(1.0))) * 0.2
+    )
+    return F.struct(
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(p, 6).alias("punct_ratio"),
+        F.round(s, 6).alias("stopword_ratio"),
+        F.round(m, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("score"),
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-sensitive content fingerprint: md5 over normalized
+    (lowercased, whitespace-collapsed) text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def bag_fingerprint(col: Column) -> Column:
+    """Order-insensitive fingerprint: md5 over the sorted distinct token
+    bag — robust to shuffled word order (near-dup canonicalization key)."""
+    toks = F.array_sort(
+        F.array_distinct(
+            F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: F.length(t) > 0)
+        )
+    )
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def rolling_fingerprint(col: Column, n: int = 5) -> Column:
+    """Winnowing-style fingerprint: minimum md5 over word n-gram shingles
+    (one representative hash per document; equal for docs sharing their
+    minimal shingle — used as a blocking key)."""
+    from psyndex2linkeddata_spark.operators.dedup import shingles
+
+    return F.array_min(F.transform(shingles(col, n), F.md5))

@@ -1,0 +1,98 @@
+"""Connected-components URI canonicalization (SURVEY §4 custom job #1).
+
+The reference sidesteps cross-document entity identity with record-local
+URIs; the north_star requires canonicalizing mention URIs that refer to
+the same entity (e.g. one author across thousands of pages). Entity-link
+candidate pairs (operators/linking.py) form an edge list; each connected
+component collapses to one canonical id (its minimum member).
+
+Algorithm: hash-to-min label propagation (GraphFrames-style driver loop):
+    label(v) ← min(label(v), min over neighbors label(u))
+repeated until fixpoint. Each round is one shuffle (groupBy vertex).
+`localCheckpoint` every `checkpoint_every` rounds truncates the lineage so
+plans don't grow with iterations (Catalyst cannot express iteration —
+this is deliberately a driver-side loop). Convergence in O(diameter)
+rounds; for the hub-and-spoke components entity resolution produces,
+diameter is small (≤ ~6). Skewed hub vertices are fine: the min-agg is
+a partial (map-side) aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """edge list → (node, component) with component = min node id of the
+    component (ids compared as their natural type)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    # undirected: both directions once
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    und = und.localCheckpoint()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for i in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und["dst"] == labels["node"])
+            .groupBy(und["src"].alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (
+                    F.col("nbr_min").isNotNull()
+                    & (F.col("nbr_min") < F.col("component"))
+                ).alias("_changed"),
+            )
+        )
+        # every round triggers a count anyway; checkpoint truncates lineage
+        # (cadence configurable — at very large graphs checkpoint less often
+        # and probe convergence with a cheaper accumulator)
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        changed = new_labels.where(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize_uris(
+    triples: DataFrame, components: DataFrame
+) -> DataFrame:
+    """Rewrite subj/obj through the (node → component) mapping: every URI
+    in a component is replaced by the component's canonical member.
+
+    Two left joins (subj, then obj-where-iri). The mapping is usually a
+    small fraction of all URIs → broadcast when it fits, else sort-merge
+    on the uri key."""
+    m = components.select(
+        F.col("node").alias("_uri"), F.col("component").alias("_canon")
+    )
+    out = (
+        triples.join(m, triples["subj"] == m["_uri"], "left")
+        .withColumn("subj", F.coalesce(F.col("_canon"), F.col("subj")))
+        .drop("_uri", "_canon")
+    )
+    out = (
+        out.join(m, (out["obj"] == m["_uri"]) & out["obj_is_iri"], "left")
+        .withColumn("obj", F.coalesce(F.col("_canon"), F.col("obj")))
+        .drop("_uri", "_canon")
+    )
+    return out

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the correctness baseline. Query side is
+  broadcast (queries ≪ corpus); the dot product is a native zip_with/
+  aggregate expression (JVM, no Python); top-k via window row_number.
+- LSH-bucketed variant: deterministic random-hyperplane signatures
+  (planes derived from md5 of (plane, dim) — no RNG, reproducible across
+  runs and engines), candidates restricted to matching buckets. At
+  10^12 vectors the bucket join replaces the full cross product; recall
+  is tuned by n_planes/n_tables.
+
+embedding near-dup (dedup §) reuses cosine_pairs with a threshold.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force top-k: (query_id, vec_id, cos) with rank ≤ k per query.
+
+    queries is broadcast → the 'join' is a map-side nested loop over each
+    corpus partition; the only shuffle is the per-query top-k window
+    (partitioned by query_id — uniform)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        )
+    )
+    scored = corpus.crossJoin(q).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
+def _plane_weight(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1)."""
+    h = hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()
+    return int(h[:8], 16) / float(1 << 31) - 1.0
+
+
+def hyperplane_signature(vec: Column, dims: int, n_planes: int = 8) -> Column:
+    """Sign-bit LSH signature string, e.g. '10110100'."""
+    bits = []
+    for p in range(n_planes):
+        weights = [_plane_weight(p, d) for d in range(dims)]
+        s = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in weights]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Scale path: exact cosine only within the query's LSH bucket.
+
+    corpus is signed once (narrow), the join shuffles on the signature —
+    2^n_planes buckets, uniform for centered data. Recall < 1 by design;
+    raise n_tables (union over several plane seeds) for higher recall."""
+    sig_c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_signature(F.col(vec_col), dims, n_planes).alias("sig"),
+    )
+    sig_q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            hyperplane_signature(F.col(vec_col), dims, n_planes).alias("sig"),
+        )
+    )
+    scored = sig_c.join(sig_q, "sig").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (id_a < id_b, cos ≥ threshold).
+
+    Brute force (small scale); at 10^12 rows use hyperplane buckets first
+    (join on `sig` like lsh_cosine_topk) — O(n²/2^planes)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
