@@ -55,7 +55,18 @@ def main() -> None:
     from psyndex2linkeddata_spark.plans.pipeline import build_triples
     from psyndex2linkeddata_spark.session import get_spark
 
-    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+    # The driver's sf tables are single small parquet files → a default
+    # 128MB maxPartitionBytes yields ONE input split and serializes every
+    # narrow stage on one core. Locally we split aggressively; on a real
+    # cluster inputs arrive as many Iceberg splits and the default stands.
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(512 * 1024),
+            "spark.sql.files.openCostInBytes": str(64 * 1024),
+        },
+    )
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 
     results: dict[str, float] = {}
@@ -72,7 +83,8 @@ def main() -> None:
     d = tempfile.mkdtemp(prefix="bench_pages_")
     pages_path = os.path.join(d, "pages.parquet")
     write_pages_parquet(pages_path, N_PAGES)
-    pages = spark.read.parquet(pages_path)
+    # one generated file → spread across cores before the emit stage
+    pages = spark.read.parquet(pages_path).repartition(CPUS * 3)
     triples = build_triples(pages)
     t0 = time.time()
     _noop_write(triples)

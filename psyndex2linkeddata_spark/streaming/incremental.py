@@ -1,0 +1,77 @@
+"""Incremental KG construction with Structured Streaming.
+
+`stream_triples` runs the full pages→triples pipeline over an append-only
+parquet directory with Trigger.AvailableNow: each invocation processes
+exactly the files not yet seen (file-source checkpoint), appends triples
+partitioned parquet, and records per-batch metrics — re-running after new
+pages arrive (or after a crash) picks up precisely where it stopped.
+
+foreachBatch is the right shape here: the emit stage is stateless per
+page (one record per page → triple dedup is record-local except for
+shared vocabulary nodes, which are idempotent re-emits), so a per-batch
+`build_triples` is exactly-once per page without global streaming state.
+
+`sessionize_events_stream` shows the stateful side: event-time session
+windows with a watermark (late data tolerated up to the watermark bound).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from psyndex2linkeddata_spark.plans.pipeline import build_triples
+from psyndex2linkeddata_spark.schema import pages_schema
+
+
+def stream_triples(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Process all not-yet-seen page files, then stop (AvailableNow)."""
+    reader = (
+        spark.readStream.schema(pages_schema())
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.load(pages_dir)
+
+    metrics_path = os.path.join(checkpoint_dir, "batch_metrics")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        triples = build_triples(batch_df)
+        triples.write.mode("append").parquet(os.path.join(out_dir, "triples"))
+        n_pages = batch_df.count()
+        spark_ = batch_df.sparkSession
+        spark_.createDataFrame(
+            [(int(batch_id), int(n_pages))], "batch_id long, n_pages long"
+        ).withColumn("ts", F.current_timestamp()).write.mode("append").parquet(
+            metrics_path
+        )
+
+    q = (
+        pages.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "stream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def sessionize_events_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Event-time session windows with watermarking (streaming DF in,
+    streaming DF out): count events per (user, session window); late
+    events beyond 10 minutes are dropped by the watermark."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), f"{gap_minutes} minutes"),
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
