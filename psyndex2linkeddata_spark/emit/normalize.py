@@ -293,13 +293,19 @@ def normalize(records: DataFrame) -> DataFrame:
     Drops records without a DFK (the reference cannot mint URIs for them
     either) — everything downstream keys on `work` / `bundle`.
     """
-    out = (
-        records.where(F.col("DFK").isNotNull())
-        .withColumn("work", work_uri(F.col("DFK")))
-        .withColumn("bundle", bundle_uri(F.col("DFK")))
-        .withColumn("contribs", contributions_col(records))
-        .withColumn("instances", instances_col(records))
+    from psyndex2linkeddata_spark.plans.pipeline import _memo
+
+    cols = _memo(
+        "normalize_columns",
+        lambda: {
+            "work": work_uri(F.col("DFK")),
+            "bundle": bundle_uri(F.col("DFK")),
+            "contribs": contributions_col(records),
+            "instances": instances_col(records),
+            **relation_mentions(),
+        },
     )
-    for name, col in relation_mentions().items():
+    out = records.where(F.col("DFK").isNotNull())
+    for name, col in cols.items():
         out = out.withColumn(name, col)
     return out

@@ -23,6 +23,23 @@ from psyndex2linkeddata_spark.emit.normalize import normalize
 from psyndex2linkeddata_spark.extract.parser import extract_records
 
 
+# The emitter expression tree is ~10^4 Column operations = ~10^4 py4j round
+# trips (~30s) to CONSTRUCT — while analysis/optimization are ~1s. Columns
+# are unresolved expressions independent of any DataFrame, so we build the
+# tree once per JVM and reuse it across every build_triples call.
+_COLUMN_CACHE: dict = {}
+
+
+def _memo(key: str, build):
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    cache_key = (id(ctx), key)
+    if cache_key not in _COLUMN_CACHE:
+        _COLUMN_CACHE[cache_key] = build()
+    return _COLUMN_CACHE[cache_key]
+
+
 def emitter_columns() -> list[Column]:
     """All registered emitters (grows as SURVEY §2.6 coverage widens)."""
     from psyndex2linkeddata_spark.emit import (  # late import: module registry
@@ -62,18 +79,49 @@ def emitter_columns() -> list[Column]:
 
 def emit_triples(norm_records: DataFrame) -> DataFrame:
     """normalized records → raw triples (single scan, single explode)."""
-    return explode_triples(norm_records, F.concat(*emitter_columns()))
+    arr = _memo("emit_array", lambda: F.concat(*emitter_columns()))
+    return explode_triples(norm_records, arr)
 
 
 def finalize(triples: DataFrame) -> DataFrame:
     """A10 (rdflib.Graph set semantics — implicit in every graph.add):
-    exact-duplicate triples collapse. The one global shuffle of the
+    exact-duplicate triples collapse, plus the authority-free part of the
+    A2 genre cleanup (thesis beats ScholarlyPaper/ScholarlyWork —
+    clean_up_genres runs unconditionally in the reference,
+    convert_starxml_to_bf.py:1455-1458). The one global shuffle of the
     pipeline; AQE-coalesced."""
-    return triples.dropDuplicates(
+    from psyndex2linkeddata_spark.operators.upsert import clean_genres
+
+    deduped = triples.dropDuplicates(
         ["subj", "pred", "obj", "obj_is_iri", "lang", "dtype"]
     )
+    # Plan barrier: clean_genres and the enrich joins reference the triple
+    # set many times; without a barrier each reference re-analyzes and
+    # re-executes the whole emit tree (measured: 190s construction, 8×
+    # recompute). The lazy local checkpoint truncates the logical plan to
+    # an RDD scan and materializes once on first use. At cluster scale the
+    # equivalent is landing the raw triples in the warehouse (Iceberg)
+    # before the linking stage — same barrier, plus durability.
+    return clean_genres(deduped.localCheckpoint(eager=False))
 
 
-def build_triples(pages: DataFrame) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) → deduplicated triples DF."""
-    return finalize(emit_triples(normalize(extract_records(pages))))
+def build_triples(
+    pages: DataFrame, authorities: dict[str, DataFrame] | None = None
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → deduplicated triples DF.
+
+    With `authorities` (see datagen/authorities.py for the table shapes):
+    the bad_ids kill-list filters records (S3), and the linking stage
+    (plans/enrich.py — J1/J3/J5/J6 + A2 ancestor cleanup) runs after emit.
+    """
+    from psyndex2linkeddata_spark.extract.parser import filter_bad_ids
+
+    records = extract_records(pages)
+    if authorities and "bad_ids" in authorities:
+        records = filter_bad_ids(records, authorities["bad_ids"])
+    triples = finalize(emit_triples(normalize(records)))
+    if authorities:
+        from psyndex2linkeddata_spark.plans.enrich import enrich_triples
+
+        triples = enrich_triples(triples, authorities)
+    return triples

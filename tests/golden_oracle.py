@@ -1145,11 +1145,128 @@ def emit_thesis(g, rec, W, contribs):
             emit_affiliation(g, cnode, agent, inst, None)
 
 
-def golden_triples(records: list[dict]) -> set[Triple]:
-    """Reference-semantics triple set for a list of record dicts."""
+def _norm_key(s):
+    s = re.sub(r"[.,;:()]+", " ", s.strip().lower())
+    return re.sub(r"\s+", " ", s).strip()
+
+
+_THESIS_GENRES = {
+    NS.GENRES + g
+    for g in (
+        "ThesisDoctoral",
+        "CompilationThesisDoctoral",
+        "ThesisHabilitation",
+        "CompilationThesisHabilitation",
+    )
+}
+_SCHOLARLY = {NS.GENRES + "ScholarlyPaper", NS.GENRES + "ScholarlyWork"}
+
+
+def canonicalize_funder(name):
+    from psyndex2linkeddata_spark.data.tables import (
+        funder_names_full_replacelist,
+        funder_names_substr_replacelist,
+    )
+
+    full = dict(funder_names_full_replacelist)
+    out = full.get(name, name)
+    for substr, repl in funder_names_substr_replacelist:
+        if substr in out:
+            return repl
+    return out
+
+
+def apply_cleanup_and_enrich(t: set, authorities: dict | None = None) -> set:
+    """Post-emit set transformations mirroring plans/pipeline.finalize +
+    plans/enrich (thesis genre rule always; ancestor cleanup, topic sameAs,
+    genre labels, ROR ids, FundRef DOIs with authorities)."""
+    from collections import defaultdict
+
+    genre_pred = NS.BF + "genreForm"
+    by_work = defaultdict(set)
+    for (s, p, o, *_rest) in t:
+        if p == genre_pred:
+            by_work[s].add(o)
+
+    anc_map = {}
+    if authorities:
+        for r in authorities.get("auth_concepts", []):
+            if r["vocab"] == "genres":
+                anc_map[r["uri"]] = set(r["ancestors"])
+
+    drops = set()
+    for w, gs in by_work.items():
+        if gs & _THESIS_GENRES:
+            for g in gs & _SCHOLARLY:
+                drops.add((w, genre_pred, g, True, None, None))
+        for g in gs:
+            for a in anc_map.get(g, ()):
+                if a in gs and a != g:
+                    drops.add((w, genre_pred, a, True, None, None))
+    t = t - drops
+    if not authorities:
+        return t
+
+    concepts = authorities.get("auth_concepts", [])
+    # J5 topic sameAs (terms preferred over addterms, then uri order)
+    vocab_map = {}
+    for r in sorted(
+        (r for r in concepts if r["vocab"] in ("terms", "addterms")),
+        key=lambda r: (r["label_en"], 0 if r["vocab"] == "terms" else 1, r["uri"]),
+    ):
+        vocab_map.setdefault(r["label_en"], r["uri"])
+    genre_rows = {r["uri"]: r for r in concepts if r["vocab"] == "genres"}
+
+    orgs = authorities.get("auth_orgs", [])
+    org_map = {}
+    for pref, keyer in ((0, lambda r: [r["name"]]), (1, lambda r: r["aliases"])):
+        for r in sorted(orgs, key=lambda r: r["org_id"]):
+            for k in keyer(r):
+                key = _norm_key(k)
+                cur = org_map.get(key)
+                if cur is None or (pref, r["org_id"]) < cur[0]:
+                    org_map[key] = ((pref, r["org_id"]), r)
+    org_map = {k: v[1] for k, v in org_map.items()}
+
+    adds = set()
+    genre_nodes = {o for (s, p, o, *_x) in t if p == genre_pred}
+    for gn in genre_nodes:
+        r = genre_rows.get(gn)
+        if r:
+            adds.add((gn, NS.SKOS + "prefLabel", r["label_de"], False, "de", None))
+            adds.add((gn, NS.SKOS + "prefLabel", r["label_en"], False, "en", None))
+            adds.add((gn, NS.RDFS_LABEL, r["label_en"], False, None, None))
+    for (s, p, o, iri, lang, dtype) in list(t):
+        if p == NS.SKOS + "prefLabel" and lang == "en" and "#topic" in s:
+            uri = vocab_map.get(o)
+            if uri:
+                adds.add((s, NS.OWL + "sameAs", uri, True, None, None))
+        if p == NS.RDFS_LABEL and s.endswith("_organization"):
+            r = org_map.get(_norm_key(o))
+            if r:
+                rn = s + "_rorid"
+                adds.add((rn, NS.RDF_TYPE, NS.LOCID + "ror", True, None, None))
+                adds.add((rn, NS.RDF + "value", r["org_id"], False, None, None))
+                adds.add((s, NS.BF + "identifiedBy", rn, True, None, None))
+        if p == NS.RDFS_LABEL and s.endswith("_funder"):
+            r = org_map.get(_norm_key(canonicalize_funder(o)))
+            if r and r.get("fundref_doi"):
+                fn = s + "_funderid"
+                adds.add((fn, NS.RDF_TYPE, NS.PXC + "FundRefDoi", True, None, None))
+                adds.add((fn, NS.RDF + "value", r["fundref_doi"], False, None, None))
+                adds.add((s, NS.BF + "identifiedBy", fn, True, None, None))
+    return t | adds
+
+
+def golden_triples(records: list[dict], authorities: dict | None = None) -> set[Triple]:
+    """Reference-semantics triple set for a list of record dicts;
+    `authorities` = dict of row-lists matching datagen/authorities.py."""
     g = G()
+    bad = (
+        {r["dfk"] for r in authorities.get("bad_ids", [])} if authorities else set()
+    )
     for rec in records:
-        if rec.get("DFK") is None:
+        if rec.get("DFK") is None or rec["DFK"] in bad:
             continue
         W = work_uri(rec["DFK"])
         B = bundle_uri(rec["DFK"])
@@ -1175,4 +1292,4 @@ def golden_triples(records: list[dict]) -> set[Triple]:
         emit_journal(g, rec, B)
         emit_book(g, rec, B)
         emit_thesis(g, rec, W, contribs)
-    return g.t
+    return apply_cleanup_and_enrich(g.t, authorities)
