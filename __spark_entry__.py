@@ -242,7 +242,7 @@ def q_ngram_jaccard(spark, sf):
     from psyndex2linkeddata_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2, max_shingle_freq=10**9)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2, max_shingle_freq=None)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -264,6 +264,23 @@ def q_embedding_topk(spark, sf):
     )
     corpus = e.where(F.col("vec_id") >= 5)
     topk = cosine_topk(corpus, queries, k=10)
+    return topk.select("query_id", "vec_id", F.round("cos", 4).alias("cos"))
+
+
+def q_lsh_topk(spark, sf):
+    """LSH-bucketed ANN: exact cosine only within the query's hyperplane
+    bucket (deterministic md5-derived planes — the DuckDB oracle inlines
+    the identical plane weights)."""
+    from psyndex2linkeddata_spark.operators.similarity import lsh_cosine_topk
+
+    e = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 8)
+    topk = lsh_cosine_topk(corpus, queries, dims=64, k=5, n_planes=4)
     return topk.select("query_id", "vec_id", F.round("cos", 4).alias("cos"))
 
 
@@ -422,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
+        "lsh_topk": q_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -479,6 +497,37 @@ bands as (
     )
     + "\n)"
 )
+
+
+def _lsh_topk_oracle() -> str:
+    """DuckDB oracle for q_lsh_topk with the identical md5-derived plane
+    weights inlined as literals."""
+    from psyndex2linkeddata_spark.operators.similarity import _plane_weight
+
+    bits = []
+    for p in range(4):
+        weights = ", ".join(repr(_plane_weight(p, d)) for d in range(64))
+        bits.append(
+            f"(case when list_dot_product(v, [{weights}]) >= 0 then '1' else '0' end)"
+        )
+    sig = " || ".join(bits)
+    return f"""
+        with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        s as (select vec_id, v, {sig} as sig from e),
+        q as (select vec_id as query_id, v as qv, sig from s where vec_id < 8),
+        c as (select vec_id, v, sig from s where vec_id >= 8),
+        scored as (
+          select q.query_id, c.vec_id,
+                 list_cosine_similarity(c.v, q.qv) as cos
+          from c join q using (sig)),
+        ranked as (
+          select query_id, vec_id, cos,
+                 row_number() over (partition by query_id
+                                    order by cos desc, vec_id) as rank
+          from scored)
+        select query_id, vec_id, round(cos, 4) as cos
+        from ranked where rank <= 5
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -651,6 +700,7 @@ def oracle_sql() -> dict[str, str]:
             select query_id, vec_id, round(cos, 4) as cos
             from ranked where rank <= 10
         """,
+        "lsh_topk": _lsh_topk_oracle(),
         "embedding_neardup": """
             with e as (select vec_id, embedding::DOUBLE[] as v from embeddings)
             select a.vec_id as id_a, b.vec_id as id_b,

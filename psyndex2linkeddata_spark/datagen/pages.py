@@ -444,4 +444,7 @@ def write_pages_parquet(path: str, n: int, seed: int = 42) -> None:
             ]
         ),
     )
-    pq.write_table(table, path)
+    # small row groups keep the single file SPLITTABLE — parquet splits only
+    # at row-group boundaries, and a 1-row-group file serializes the scan on
+    # one core no matter what maxPartitionBytes says
+    pq.write_table(table, path, row_group_size=1000)

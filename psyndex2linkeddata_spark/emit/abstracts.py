@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 from psyndex2linkeddata_spark import namespaces as NS
-from psyndex2linkeddata_spark.emit.base import T, cleaned, frag, mainfield, pack, subfield, subfrag, typ
+from psyndex2linkeddata_spark.emit.base import T, cleaned, frag, pack, subfrag, typ
 from psyndex2linkeddata_spark.functions.lang import guess_language, langtag2
 from psyndex2linkeddata_spark.functions.licenses import abstract_origin
 from psyndex2linkeddata_spark.functions.text import split_licensing_note, split_toc

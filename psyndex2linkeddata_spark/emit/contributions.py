@@ -21,7 +21,7 @@ from pyspark.sql import Column, functions as F
 
 from psyndex2linkeddata_spark import namespaces as NS
 from psyndex2linkeddata_spark.data.tables import geonames_countries
-from psyndex2linkeddata_spark.emit.base import T, cleaned, frag, mainfield, pack_arr, subfield, subfrag
+from psyndex2linkeddata_spark.emit.base import T, frag, pack_arr, subfrag
 
 def W():
     return F.col("work")

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 from psyndex2linkeddata_spark import namespaces as NS
-from psyndex2linkeddata_spark.emit.base import T, cleaned, frag, instance_uri, mainfield, pack, subfield, typ
+from psyndex2linkeddata_spark.emit.base import T, cleaned, frag, instance_uri, pack, subfield, typ
 from psyndex2linkeddata_spark.functions.cleaning import (nullif_empty)
 from psyndex2linkeddata_spark.functions.dates import date_or_year
 from psyndex2linkeddata_spark.functions.lang import (

@@ -24,7 +24,7 @@ from pyspark.sql import Column, functions as F
 
 from psyndex2linkeddata_spark import namespaces as NS
 from psyndex2linkeddata_spark.data.tables import cm_mapping_lookup, issuancetypes
-from psyndex2linkeddata_spark.emit.base import T, cleaned, mainfield, pack, pack_arr, subfield, typ
+from psyndex2linkeddata_spark.emit.base import T, pack, pack_arr, subfield, typ
 from psyndex2linkeddata_spark.functions.licenses import license_uri
 
 def W():

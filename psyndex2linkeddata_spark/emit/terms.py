@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 from psyndex2linkeddata_spark import namespaces as NS
-from psyndex2linkeddata_spark.emit.base import T, cleaned, mainfield, pack_arr, subfield, typ
+from psyndex2linkeddata_spark.emit.base import T, cleaned, pack_arr, subfield, typ
 from psyndex2linkeddata_spark.functions.text import camel_case
 
 def W():

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 from psyndex2linkeddata_spark import namespaces as NS
-from psyndex2linkeddata_spark.emit.base import T, cleaned, frag, mainfield, pack, pack_arr, subfield, subfrag, typ
+from psyndex2linkeddata_spark.emit.base import T, cleaned, frag, pack, subfrag, typ
 from psyndex2linkeddata_spark.emit.contributions import _affiliation_triples
 from psyndex2linkeddata_spark.functions.cleaning import nullif_empty
 from psyndex2linkeddata_spark.functions.dates import date_or_year

@@ -139,20 +139,29 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: int = 1000,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     explode→self-join on shingle→count intersections→|A∪B| from per-doc
     sizes. `max_shingle_freq` drops boilerplate shingles (the skew guard:
-    a shingle shared by k docs creates k² join rows)."""
-    ex = df.select(
+    a shingle shared by k docs creates k² join rows); None disables the
+    guard (and its extra pass) for skew-free corpora.
+
+    The shingle array is materialized in its own projection so the
+    expensive per-row computation runs once (size+explode reference the
+    column, not the expression)."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh"))
+    ex = sh.select(
         F.col(id_col),
-        F.size(shingles(F.col(text_col), n)).alias("n_sh"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+        F.size("_sh").alias("n_sh"),
+        F.explode("_sh").alias("shingle"),
     )
-    rare = ex.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
-    ex = ex.join(rare.select("shingle"), "shingle")
+    if max_shingle_freq is not None:
+        rare = ex.groupBy("shingle").count().where(
+            F.col("count") <= max_shingle_freq
+        )
+        ex = ex.join(rare.select("shingle"), "shingle")
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(

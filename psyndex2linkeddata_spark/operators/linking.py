@@ -19,8 +19,6 @@ a deterministic stand-in for fuzzywuzzy's partial_ratio (contributions.py
 
 from __future__ import annotations
 
-from itertools import chain
-
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
@@ -170,8 +168,6 @@ def link_tiered(
 ) -> DataFrame:
     """exact → replace-list → LSH+verify; first tier that resolves wins.
     Result column `_tier` ∈ {exact, replaced, fuzzy, null}."""
-    key = F.col(mention_key)
-    recoded = replacelist(key) if replacelist is not None else key
     t1 = link_exact(mentions, authority, mention_key, auth_key, auth_cols)
     matched1 = t1.where(F.col(auth_cols[0]).isNotNull()).withColumn(
         "_tier", F.lit("exact")

@@ -20,7 +20,11 @@ def test_every_page_yields_one_record(records):
 
 
 def test_scalar_and_repeated_fields_roundtrip(records):
-    """Parsed record fields must equal the generator's source dicts exactly."""
+    """Parsed record fields must equal the generator's source dicts after
+    the extract-time F1+F2 cleaning (applied once per page — byte-
+    equivalent to the reference's per-field cleaning)."""
+    from tests.golden_oracle import clean
+
     src = make_records(N_FIXTURE_PAGES, seed=42)
     got = {r["DFK"]: r.asDict() for r in records.collect()}
     assert len(got) == N_FIXTURE_PAGES
@@ -28,9 +32,9 @@ def test_scalar_and_repeated_fields_roundtrip(records):
         row = got[rec["DFK"]]
         for field, val in rec.items():
             if isinstance(val, list):
-                assert row[field] == val, (rec["DFK"], field)
+                assert row[field] == [clean(v) for v in val], (rec["DFK"], field)
             else:
-                assert row[field] == val, (rec["DFK"], field)
+                assert row[field] == clean(val), (rec["DFK"], field)
         # absent fields must be NULL
         for field, parsed in row.items():
             if field in ("url", "warc_ts", "page_lang"):

@@ -1,0 +1,68 @@
+"""Salted-aggregation equivalence + the spark-submit conversion job CLI."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from psyndex2linkeddata_spark.operators.skew import salted_collect_set, salted_count
+
+
+def test_salted_count_equals_plain(spark):
+    # hot key: 'a' carries 90% of rows
+    rows = [("a", i) for i in range(900)] + [(f"k{i}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    plain = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    salted = {r.k: r["count"] for r in salted_count(df, ["k"]).collect()}
+    assert plain == salted
+
+
+def test_salted_collect_set_equals_plain(spark):
+    rows = [("a", i % 7) for i in range(500)] + [("b", i) for i in range(5)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    plain = {
+        r.k: sorted(r.vs)
+        for r in df.groupBy("k").agg(F.collect_set("v").alias("vs")).collect()
+    }
+    salted = {
+        r.k: sorted(r.v_set) for r in salted_collect_set(df, ["k"], "v").collect()
+    }
+    assert plain == salted
+
+
+def test_convert_job_cli(spark, tmp_path_factory):
+    from psyndex2linkeddata_spark.datagen.authorities import write_authority_parquets
+    from psyndex2linkeddata_spark.datagen.pages import write_pages_parquet
+    from psyndex2linkeddata_spark.jobs.convert import main
+
+    base = str(tmp_path_factory.mktemp("job"))
+    pages = os.path.join(base, "pages.parquet")
+    write_pages_parquet(pages, 40)
+    auth_dir = os.path.join(base, "auth")
+    write_authority_parquets(auth_dir, 40)
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    nt = os.path.join(base, "nt")
+    main(
+        [
+            "--pages", pages,
+            "--out", out,
+            "--ckpt", ckpt,
+            "--authorities", auth_dir,
+            "--buckets", "4",
+            "--per-commit", "2",
+            "--nt", nt,
+        ]
+    )
+    triples = spark.read.parquet(os.path.join(out, "triples")).drop("batch")
+    assert triples.distinct().count() > 1000
+    # enrichment ran (ror ids present) and kill-list applied
+    assert triples.where(F.col("subj").endswith("_rorid")).count() > 0
+    lineage = spark.read.parquet(os.path.join(ckpt, "lineage"))
+    assert lineage.where(F.col("status") == "done").count() == 4
+    assert spark.read.text(nt).count() == triples.distinct().count()
+    # resumability: second invocation is a no-op (lineage rows unchanged)
+    main(["--pages", pages, "--out", out, "--ckpt", ckpt,
+          "--authorities", auth_dir, "--buckets", "4", "--per-commit", "2"])
+    assert spark.read.parquet(os.path.join(ckpt, "lineage")).count() == 4
