@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "simhash",
     "embedding_topk",
+    "lsh_topk",
     "lang_id",
     "quality",
     "token_counts",
