@@ -70,9 +70,15 @@ def main() -> None:
     )
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 
+    # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict, or "none" to skip
+    # (the scaling bench only needs the pipeline number)
+    sel = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    bench_queries = (
+        [] if sel == "none" else (sel.split(",") if sel else BENCH_QUERIES)
+    )
     results: dict[str, float] = {}
     queries = entrymod.queries()
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         # construction is inside the timer: iterative operators (connected
         # components) do their driver-loop work during construction
         t0 = time.time()
@@ -81,9 +87,13 @@ def main() -> None:
         results[name] = round(time.time() - t0, 3)
 
     # headline: full KG pipeline throughput on a synthetic pages corpus
-    d = tempfile.mkdtemp(prefix="bench_pages_")
-    pages_path = os.path.join(d, "pages.parquet")
-    write_pages_parquet(pages_path, N_PAGES)
+    # (SPARK_GRAFT_PAGES_PATH lets tools/scaling_bench.py generate once and
+    # share the identical input between parallelism levels)
+    pages_path = os.environ.get("SPARK_GRAFT_PAGES_PATH")
+    if not pages_path:
+        d = tempfile.mkdtemp(prefix="bench_pages_")
+        pages_path = os.path.join(d, "pages.parquet")
+        write_pages_parquet(pages_path, N_PAGES)
     # one generated file → spread across cores before the emit stage.
     pages = spark.read.parquet(pages_path).repartition(CPUS * 3)
     # Warm-up on a tiny slice: pays the one-time driver-side costs (py4j

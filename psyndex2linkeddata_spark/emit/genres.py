@@ -123,16 +123,35 @@ def work_genres() -> Column:
     return pack_arr(F.when(genre.isNotNull(), _genre_edges(genre)))
 
 
+# J8 Annif stand-in: the reference asks an ML service for a method code
+# when a record has no CM (publication_types.py:125-185). The engine's
+# deterministic replacement classifies by a stable hash of the title over
+# the mappable CM codes — same call surface (text → code), no service.
+_ANNIF_CODES = sorted({r["old_cm"] for r in cm_mapping_lookup if r.get("new_cm")})
+
+
+def annif_stub_code(title: Column) -> Column:
+    idx = F.pmod(F.crc32(F.encode(title, "utf-8")), F.lit(len(_ANNIF_CODES)))
+    m = _lit_map((str(i), c) for i, c in enumerate(_ANNIF_CODES))
+    return m[idx.cast("string")]
+
+
 def cm_methods() -> Column:
     """J17 + A6: CM |c codes recoded through cm_mapping_lookup; every mapped
     method gets work#controlledmethod{n} a pxc:ControlledMethod (n counts
     only mapped methods, first one also ControlledMethodWeighted), owl:sameAs
     methods vocab URI, rdfs:label, via bf:classification; mapped new_genre →
-    genreForm edges (publication_types.py:203-330)."""
+    genreForm edges (publication_types.py:203-330). Records without CM get
+    one J8-suggested code (annif_stub_code)."""
     codes = F.transform(
         F.coalesce(F.col("CM"), F.array()),
         lambda s: subfield(s, "c"),
     )
+    no_cm = F.size(F.coalesce(F.col("CM"), F.array())) == 0
+    codes = F.when(
+        no_cm & F.col("TI").isNotNull(),
+        F.array(annif_stub_code(F.trim(F.col("TI")))),
+    ).otherwise(codes)
     mapped = F.filter(
         F.transform(
             codes,

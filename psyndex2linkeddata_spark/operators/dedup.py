@@ -113,9 +113,16 @@ def minhash_lsh_pairs(
     shingle→minhash→band→bucket-join: the join shuffles on (band, key);
     verification (true Jaccard) composes with ngram_jaccard_verify."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, n)
-    banded = df.select(
-        F.col(id_col), F.explode(lsh_bands(sig, bands, rows_per_band)).alias("b")
+    # materialize the signature in its own projection: lsh_bands indexes it
+    # per band, and an inlined signature expression would recompute all
+    # num_hashes min-aggregations once per reference
+    sigd = df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes, n).alias("_sig"),
+    )
+    banded = sigd.select(
+        F.col(id_col),
+        F.explode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias("b"),
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
     a = banded.alias("a")
     b = banded.alias("b")

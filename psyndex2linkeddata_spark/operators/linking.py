@@ -112,26 +112,20 @@ def link_fuzzy(
     rows_per_band = num_hashes // bands
     m_sig = keys.select(
         "_mkey",
-        F.explode(
-            lsh_bands(
-                minhash_signature(F.col("_mkey"), num_hashes, shingle_n),
-                bands,
-                rows_per_band,
-            )
-        ).alias("b"),
+        minhash_signature(F.col("_mkey"), num_hashes, shingle_n).alias("_sig"),
+    ).select(
+        "_mkey",
+        F.explode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias("b"),
     ).select("_mkey", F.col("b.band"), F.col("b.key"))
     auth = authority.select(
         norm_key(F.col(auth_key)).alias("_akey"), *[F.col(c) for c in auth_cols]
     ).dropDuplicates(["_akey"])
     a_sig = auth.select(
         "_akey",
-        F.explode(
-            lsh_bands(
-                minhash_signature(F.col("_akey"), num_hashes, shingle_n),
-                bands,
-                rows_per_band,
-            )
-        ).alias("b"),
+        minhash_signature(F.col("_akey"), num_hashes, shingle_n).alias("_sig"),
+    ).select(
+        "_akey",
+        F.explode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias("b"),
     ).select("_akey", F.col("b.band"), F.col("b.key"))
     cands = (
         m_sig.join(F.broadcast(a_sig), ["band", "key"])

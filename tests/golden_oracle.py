@@ -599,10 +599,17 @@ def emit_genres(g, rec, W, B):
     if genre:
         g.add(NS.GENRES + genre, NS.RDF_TYPE, NS.BF + "GenreForm", iri=True)
         g.add(W, NS.BF + "genreForm", NS.GENRES + genre, iri=True)
-    # CM methods + genres
+    # CM methods + genres (J8 stand-in: hash-of-title code when no CM)
+    import zlib
+
+    cm_fields = rec.get("CM") or []
+    codes = [subfield(clean(s), "c") for s in cm_fields]
+    if not cm_fields and rec.get("TI") is not None:
+        annif_codes = sorted({r["old_cm"] for r in cm_mapping_lookup if r.get("new_cm")})
+        title = clean(rec["TI"]).strip()
+        codes = [annif_codes[zlib.crc32(title.encode("utf-8")) % len(annif_codes)]]
     n = 0
-    for s in rec.get("CM") or []:
-        code = subfield(clean(s), "c")
+    for code in codes:
         row = _CM.get(code)
         if row is None:
             continue

@@ -1,0 +1,77 @@
+"""Dump physical plans of the headline operators to PLANS.md — the
+plan-quality evidence: pushed filters, broadcast joins, whole-stage
+codegen spans, AQE nodes.
+
+Usage: PYTHONPATH=/root/repo python tools/explain_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def explain(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    import __spark_entry__ as entrymod
+    from psyndex2linkeddata_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", app_name="explain")
+    queries = entrymod.queries()
+    picks = [
+        ("kg_triples", "KG triple emission over documents"),
+        ("minhash_lsh", "MinHash-LSH candidate pairs (band bucket self-join)"),
+        ("embedding_topk", "brute-force cosine top-k (broadcast queries)"),
+        ("lsh_topk", "LSH-bucketed ANN (join on hyperplane signature)"),
+        ("entity_link_exact", "exact entity linking (broadcast hash join)"),
+        ("pricing_summary", "scan+agg with pushdown/pruning"),
+    ]
+    out = ["# PLANS — physical plan evidence (sf0.001, local[8])\n"]
+    out.append(
+        "What to look for: `PushedFilters`/`ReadSchema` on parquet scans "
+        "(pushdown + pruning), `BroadcastHashJoin` for every authority/dim "
+        "join, `WholeStageCodegen` spans over the expression-heavy stages, "
+        "`AQEShuffleRead` (adaptive coalesce) after exchanges.\n"
+    )
+    for name, title in picks:
+        df = queries[name](spark, sf)
+        out.append(f"\n## {name} — {title}\n\n```")
+        out.append(explain(df).strip())
+        out.append("```\n")
+    # the full pipeline's plan (truncated — the emit projection is huge)
+    from psyndex2linkeddata_spark.datagen.pages import (
+        make_records,
+        pages_rows_from_records,
+    )
+    from psyndex2linkeddata_spark.plans.pipeline import build_triples
+    from psyndex2linkeddata_spark.schema import pages_schema
+
+    pages = spark.createDataFrame(
+        pages_rows_from_records(make_records(20)), schema=pages_schema()
+    )
+    t = build_triples(pages)
+    txt = explain(t, mode="simple")
+    lines = txt.splitlines()
+    out.append("\n## kg_pipeline — pages→triples (plan skeleton, first 40 lines)\n\n```")
+    out.append("\n".join(l[:160] for l in lines[:40]))
+    out.append("```\n")
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -20,13 +20,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(cpus: int, n_pages: int) -> dict:
+def run(cpus: int, n_pages: int, pages_path: str | None = None) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_PAGES=str(n_pages),
         PYTHONPATH=REPO,
     )
+    if pages_path:
+        env["SPARK_GRAFT_PAGES_PATH"] = pages_path
+    env["SPARK_GRAFT_BENCH_QUERIES"] = "none"  # scaling needs only the pipeline
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -39,9 +42,17 @@ def run(cpus: int, n_pages: int) -> dict:
 
 
 def main() -> None:
+    import tempfile
+
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
-    r8 = run(8, n_pages)
-    r32 = run(32, n_pages)
+    from psyndex2linkeddata_spark.datagen.pages import write_pages_parquet
+
+    pages_path = os.path.join(
+        tempfile.mkdtemp(prefix="scaling_pages_"), "pages.parquet"
+    )
+    write_pages_parquet(pages_path, n_pages)
+    r8 = run(8, n_pages, pages_path)
+    r32 = run(32, n_pages, pages_path)
     t8 = r8["queries"]["kg_pipeline"]
     t32 = r32["queries"]["kg_pipeline"]
     eff = (t8 / t32) / 4.0
