@@ -239,10 +239,14 @@ def q_minhash_lsh(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard with the skew guard ON (max_shingle_freq=100):
+    a shingle shared by k docs creates k² join rows, so boilerplate
+    shingles are dropped before the self-join. |A∪B| still uses the full
+    per-doc shingle counts; the oracle mirrors both."""
     from psyndex2linkeddata_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2, max_shingle_freq=None)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2, max_shingle_freq=100)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -285,12 +289,17 @@ def q_lsh_topk(spark, sf):
 
 
 def q_embedding_neardup(spark, sf):
-    from psyndex2linkeddata_spark.operators.similarity import cosine_pairs
+    """Near-dup pairs via hyperplane-LSH buckets (2 tables × 4 planes) —
+    the scale path: no cross join in the plan; candidates share an LSH
+    bucket in ≥1 table. The oracle inlines the identical deterministic
+    plane weights. (cosine_pairs, the brute-force all-pairs variant,
+    remains available as the small-scale/recall-1 baseline.)"""
+    from psyndex2linkeddata_spark.operators.similarity import lsh_cosine_pairs
 
     e = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    pairs = cosine_pairs(e, threshold=0.35)
+    pairs = lsh_cosine_pairs(e, dims=64, threshold=0.35, n_planes=4, n_tables=2)
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
@@ -400,15 +409,36 @@ def q_kg_pipeline_synthetic(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
-    """Arrow-batched media feature extraction (decode stubbed — see
-    operators/multimodal.py)."""
-    from psyndex2linkeddata_spark.operators.multimodal import (
-        extract_features,
-        synthetic_media,
-    )
+    """Arrow-batched media feature extraction via mapInPandas (decode
+    stubbed — operators/multimodal.py). Media rows are built from the
+    `documents` table (payload = the utf-8 text bytes) so the md5-derived
+    stub features are SQL-expressible; the feature vector is projected to
+    an exact integer signature (feature[i] * 2^32 is an exact 32-bit int
+    in the double schema), giving the driver hashable scalar columns."""
+    from psyndex2linkeddata_spark.operators.multimodal import extract_features
 
-    media = synthetic_media(spark, n=96)
-    return extract_features(media, dim=8)
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.array_join(
+            F.transform(
+                F.col("feature"),
+                lambda v: F.round(v * F.lit(4294967296.0)).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("feature_sig"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -499,18 +529,24 @@ bands as (
 )
 
 
-def _lsh_topk_oracle() -> str:
-    """DuckDB oracle for q_lsh_topk with the identical md5-derived plane
-    weights inlined as literals."""
+def _sig_sql(vec: str, n_planes: int, plane_offset: int = 0, dims: int = 64) -> str:
+    """DuckDB expression for the hyperplane-LSH signature with the
+    engine's identical md5-derived plane weights inlined as literals."""
     from psyndex2linkeddata_spark.operators.similarity import _plane_weight
 
     bits = []
-    for p in range(4):
-        weights = ", ".join(repr(_plane_weight(p, d)) for d in range(64))
+    for p in range(plane_offset, plane_offset + n_planes):
+        weights = ", ".join(repr(_plane_weight(p, d)) for d in range(dims))
         bits.append(
-            f"(case when list_dot_product(v, [{weights}]) >= 0 then '1' else '0' end)"
+            f"(case when list_dot_product({vec}, [{weights}]) >= 0 then '1' else '0' end)"
         )
-    sig = " || ".join(bits)
+    return " || ".join(bits)
+
+
+def _lsh_topk_oracle() -> str:
+    """DuckDB oracle for q_lsh_topk with the identical md5-derived plane
+    weights inlined as literals."""
+    sig = _sig_sql("v", 4)
     return f"""
         with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
         s as (select vec_id, v, {sig} as sig from e),
@@ -585,7 +621,11 @@ def oracle_sql() -> dict[str, str]:
               from events
               window w as (partition by user_id order by ts, event_id)
             )
-            select user_id, sum(new_session) as n_sessions,
+            select user_id,
+                   -- Spark sum(int) is BIGINT; DuckDB sum(int) is HUGEINT
+                   -- (int128) which round-trips differently through the
+                   -- driver's pandas canonical hash — cast to match
+                   cast(sum(new_session) as bigint) as n_sessions,
                    count(*) as n_events
             from g group by 1
         """,
@@ -664,10 +704,14 @@ def oracle_sql() -> dict[str, str]:
         + _SHINGLES
         + """,
             ex as (select doc_id, len(s) as n_sh, unnest(s) as shingle from sh),
+            -- skew guard (mirrors max_shingle_freq=100): boilerplate
+            -- shingles are dropped from the join; n_sh stays pre-filter
+            rare as (select shingle from ex group by 1 having count(*) <= 100),
+            exf as (select ex.* from ex join rare using (shingle)),
             inter as (
               select a.doc_id as id_a, b.doc_id as id_b,
                      a.n_sh as n_a, b.n_sh as n_b, count(*) as n_inter
-              from ex a join ex b
+              from exf a join exf b
                 on a.shingle = b.shingle and a.doc_id < b.doc_id
               group by 1, 2, 3, 4)
             select id_a, id_b,
@@ -701,11 +745,20 @@ def oracle_sql() -> dict[str, str]:
             from ranked where rank <= 10
         """,
         "lsh_topk": _lsh_topk_oracle(),
-        "embedding_neardup": """
-            with e as (select vec_id, embedding::DOUBLE[] as v from embeddings)
+        "embedding_neardup": f"""
+            -- mirrors lsh_cosine_pairs(dims=64, n_planes=4, n_tables=2):
+            -- identical inlined plane weights; candidates share a bucket
+            -- in table 0 (planes 0-3) or table 1 (planes 4-7)
+            with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+            s as (select vec_id, v,
+                         {_sig_sql('v', 4, 0)} as sig0,
+                         {_sig_sql('v', 4, 4)} as sig1
+                  from e)
             select a.vec_id as id_a, b.vec_id as id_b,
                    round(list_cosine_similarity(a.v, b.v), 4) as cos
-            from e a join e b on a.vec_id < b.vec_id
+            from s a join s b
+              on a.vec_id < b.vec_id
+             and (a.sig0 = b.sig0 or a.sig1 = b.sig1)
             where list_cosine_similarity(a.v, b.v) >= 0.35
         """,
         "lang_id": r"""
@@ -792,6 +845,25 @@ def oracle_sql() -> dict[str, str]:
             )
             select node, min(lab) as component from reach group by node
         """,
-        # kg_pipeline_synthetic / multimodal_features: no SQL equivalent —
-        # custom pipeline + Arrow UDFs; driver records rows-only checks.
+        "multimodal_features": """
+            -- mirrors the mapInPandas stub decoder: feature chunk i is
+            -- md5-digest bytes [4*(i%4), 4*(i%4)+4) big-endian (the digest
+            -- repeats past 16 bytes), i.e. hex chars [8*(i%4)+1, +8)
+            with m as (
+              select doc_id as media_id,
+                     case doc_id % 3 when 0 then 'image'
+                                     when 1 then 'audio'
+                                     else 'video' end as kind,
+                     octet_length(encode(text)) as n_bytes,
+                     md5(text) as h
+              from documents)
+            select media_id, kind, n_bytes,
+                   array_to_string(list_transform(range(0, 8),
+                     i -> cast(cast('0x' || substr(h, 1 + 8 * (i % 4), 8)
+                               as bigint) as varchar)), ',') as feature_sig
+            from m
+        """,
+        # kg_pipeline_synthetic: no SQL equivalent — the full custom
+        # pipeline over generated pages; driver records a rows-only check
+        # (correctness is gated by tests/test_golden.py P=R=1.0).
     }

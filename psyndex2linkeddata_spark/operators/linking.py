@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 from psyndex2linkeddata_spark.data import tables
-from psyndex2linkeddata_spark.operators.dedup import lsh_bands, minhash_signature
+from psyndex2linkeddata_spark.operators.dedup import lsh_bands, minhash_signatures
 
 
 def norm_key(col: Column) -> Column:
@@ -110,19 +110,16 @@ def link_fuzzy(
     re-join to mention rows. Returns mentions + auth_cols + `_score`."""
     keys = mentions.select(norm_key(F.col(mention_key)).alias("_mkey")).distinct()
     rows_per_band = num_hashes // bands
-    m_sig = keys.select(
-        "_mkey",
-        minhash_signature(F.col("_mkey"), num_hashes, shingle_n).alias("_sig"),
-    ).select(
+    # explode→groupBy signatures (scale path, see dedup.minhash_signatures)
+    m_sig = minhash_signatures(keys, "_mkey", "_mkey", num_hashes, shingle_n).select(
         "_mkey",
         F.explode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias("b"),
     ).select("_mkey", F.col("b.band"), F.col("b.key"))
     auth = authority.select(
         norm_key(F.col(auth_key)).alias("_akey"), *[F.col(c) for c in auth_cols]
     ).dropDuplicates(["_akey"])
-    a_sig = auth.select(
-        "_akey",
-        minhash_signature(F.col("_akey"), num_hashes, shingle_n).alias("_sig"),
+    a_sig = minhash_signatures(
+        auth.select("_akey"), "_akey", "_akey", num_hashes, shingle_n
     ).select(
         "_akey",
         F.explode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias("b"),

@@ -43,7 +43,9 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), False),
-        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # double, not float: the stub features are 32-bit ints / 2^32 and
+        # must round-trip exactly (float32's 24-bit mantissa would not)
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
     ]
 )
 

@@ -76,8 +76,16 @@ def _plane_weight(plane: int, dim: int) -> float:
 
 def hyperplane_signature(vec: Column, dims: int, n_planes: int = 8) -> Column:
     """Sign-bit LSH signature string, e.g. '10110100'."""
+    return hyperplane_signature_offset(vec, dims, n_planes, plane_offset=0)
+
+
+def hyperplane_signature_offset(
+    vec: Column, dims: int, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
+    """Sign-bit LSH signature using planes [offset, offset+n_planes) —
+    distinct offsets give independent LSH tables."""
     bits = []
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         weights = [_plane_weight(p, d) for d in range(dims)]
         s = F.aggregate(
             F.zip_with(
@@ -151,3 +159,45 @@ def cosine_pairs(
         .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    dims: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs via hyperplane-LSH bucketing — the scale path
+    for `cosine_pairs` (which is an all-pairs cross join).
+
+    Each table t signs every vector with planes [t*n_planes, (t+1)*n_planes)
+    (deterministic md5-derived weights — reproducible across runs and
+    engines); candidate pairs share a bucket in ≥1 table. The join shuffles
+    on (table, sig) — 2^n_planes buckets per table, uniform for centered
+    data. Recall < 1 by design; raise n_tables for higher recall (cost:
+    one extra shuffle-sized candidate set per table, deduped by pair)."""
+    parts = []
+    for t in range(n_tables):
+        sig = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            hyperplane_signature_offset(
+                F.col(vec_col), dims, n_planes, plane_offset=t * n_planes
+            ).alias("sig"),
+        )
+        a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "sig")
+        b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "sig")
+        parts.append(
+            a.join(b, "sig")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+            .where(F.col("cos") >= threshold)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # a pair can surface in several tables; cos is deterministic per pair
+    return out.dropDuplicates(["id_a", "id_b"]) if n_tables > 1 else out
