@@ -259,6 +259,7 @@ def relation_mentions() -> dict[str, Column]:
         lambda s: F.struct(
             F.trim(s).alias("cstr"),
             subfield(s, "f").alias("dfk"),
+            mainfield(s).alias("main"),
             id_sets(
                 F.array(subfield(s, "d"), subfield(s, "u"), mainfield(s))
             ).alias("ids"),

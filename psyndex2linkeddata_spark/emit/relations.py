@@ -296,6 +296,12 @@ def replications() -> Column:
         citation = F.when(
             F.size(ids["unknowns"]) > 0, F.element_at(ids["unknowns"], 1)
         )
+        # the reference's end-of-function overwrite (research_info.py:
+        # 905-906): when no DOI/URL tier returned early, the mainfield —
+        # even one F3 typed as a (rejected) doi — becomes the citation
+        main = p["main"]
+        main_ok = main.isNotNull() & ~main.isin(_RPLIC_SKIP)
+        citation = F.when(main_ok, main).otherwise(citation)
         has_any = dfk_ok | doi.isNotNull() | url.isNotNull() | citation.isNotNull()
         rel_node, work_node, inst = rel_nodes(key, F.lit(1))
         dfk_id_node = F.concat(inst, F.lit("_dfk"))

@@ -64,6 +64,35 @@ def difflib_ratio_udf(a: Column, b: Column) -> Column:
     return fn(F.struct(a.alias("a"), b.alias("b")))
 
 
+def _token_sort_ratio_py(a: str | None, b: str | None) -> float:
+    """rapidfuzz fuzz.token_sort_ratio semantics: whitespace-tokenize,
+    sort, rejoin, then normalized InDel similarity × 100. difflib's
+    SequenceMatcher.ratio() (autojunk off) IS the normalized InDel
+    similarity: 2M/(|a|+|b|) with M the matched chars."""
+    import difflib
+
+    if a is None or b is None:
+        return 0.0
+    ta = " ".join(sorted(a.split()))
+    tb = " ".join(sorted(b.split()))
+    if not ta and not tb:
+        return 100.0
+    return 100.0 * difflib.SequenceMatcher(None, ta, tb, autojunk=False).ratio()
+
+
+def _token_sort_fn(s: pd.DataFrame) -> pd.Series:
+    return s.apply(lambda r: _token_sort_ratio_py(r["a"], r["b"]), axis=1)
+
+
+def token_sort_ratio_udf(a: Column, b: Column) -> Column:
+    """Arrow-batched token_sort_ratio (0..100) — the reference's Crossref
+    match scorer (research_info.py:966,1030: fuzz.token_sort_ratio over
+    lowercased 'title authors' vs citation). Applied only to candidates
+    that survive blocking/joins, never to full tables."""
+    fn = pandas_udf(_token_sort_fn, "double")
+    return fn(F.struct(a.alias("a"), b.alias("b")))
+
+
 def affiliation_replacelist(col: Column) -> Column:
     """Tier-2 recode: org-name substrings ROR can't resolve → canonical
     names (mappings.py:332-416), first match in table order."""

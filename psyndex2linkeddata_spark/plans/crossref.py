@@ -1,0 +1,180 @@
+"""Offline Crossref tiers for citation-bearing relation fields (J13/J14).
+
+The reference validates every extracted DOI against the live Crossref API
+(research_info.py:911-976 validate_doi_against_crossref) and, for
+citations with neither DOI nor URL, searches Crossref for the citation
+and accepts the top hit when fuzz.token_sort_ratio ≥ threshold
+(research_info.py:981-1042 check_crossref_for_citation_doi; thresholds
+:1054 → 30 for RPLIC). Here the API becomes an offline authority table
+`auth_crossref(doi, title, authors)` — a Crossref works dump slice:
+
+  tier V (validate): candidate DOI joined on lower(doi); a DOI absent
+    from the table is INVALID (the API's 404 path), present → valid when
+    token_sort_ratio(lower(title+' '+authors), lower(citation)) ≥ thr.
+    A citation that is empty / a bare URL / a bare DOI can't be compared
+    — the DOI is assumed valid (reference :941-944).
+  tier S (search): entries with no valid DOI and no URL block against
+    the authority by word-MinHash LSH (rows_per_band=1 → a candidate
+    surfaces if ANY of the num_hashes minhashes agree; the offline
+    stand-in for Crossref's own search ranking), then score with
+    token_sort_ratio and keep the top hit ≥ thr (ties: doi order —
+    declared, Crossref's relevance rank is not reproducible offline).
+
+Scale: the authority table is Crossref-sized (10^8 rows, NOT broadcast);
+tier V is one shuffled equi-join on the doi key, tier S shuffles on the
+LSH band key. Both run on the exploded mention set (records with RPLIC
+fields ≪ pages), never on the page table itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from psyndex2linkeddata_spark.operators.dedup import lsh_bands, minhash_signatures
+from psyndex2linkeddata_spark.operators.linking import token_sort_ratio_udf
+
+
+def _assume_valid(citation):
+    """No comparable citation → trust the DOI (reference :941-944)."""
+    c = F.trim(F.coalesce(citation, F.lit("")))
+    return (c == "") | c.startswith("http") | c.startswith("10.")
+
+
+def resolve_rplic_dois(
+    records: DataFrame,
+    auth_crossref: DataFrame,
+    threshold: float = 30.0,
+    search_threshold: float | None = None,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Rewrite `rplic_parsed[*].ids.dois` through the offline Crossref
+    tiers: invalid candidate DOIs are dropped, citation-only entries gain
+    the searched DOI. Records without RPLIC fields pass through.
+
+    `threshold` is the reference's fuzz threshold (30 for RPLIC).
+    `search_threshold` (default = threshold) applies to tier S only: the
+    live API ranks by its own relevance engine and the 30-bar merely
+    sanity-checks its top hit; a pure similarity ranking has no such
+    prior, so a higher acceptance bar stands in for it."""
+    if search_threshold is None:
+        search_threshold = threshold
+    auth = auth_crossref.select(
+        F.lower(F.trim(F.col("doi"))).alias("_adoi"),
+        F.lower(
+            F.concat_ws(" ", F.col("title"), F.coalesce(F.col("authors"), F.lit("")))
+        ).alias("_akey"),
+        F.col("doi").alias("_doi_out"),
+    ).dropDuplicates(["_adoi"])
+
+    ex = records.select(
+        F.col("url"), F.posexplode("rplic_parsed").alias("_idx", "_p")
+    ).select(
+        "url",
+        "_idx",
+        F.col("_p")["main"].alias("_main"),
+        F.col("_p")["ids"]["dois"].alias("_dois"),
+        F.size(F.col("_p")["ids"]["urls"]).alias("_n_urls"),
+        F.try_element_at(F.col("_p")["ids"]["unknowns"], F.lit(1)).alias("_unk"),
+    )
+    ex = ex.localCheckpoint(eager=False)  # consumed by 3 joins below
+
+    # ---- tier V: validate candidate DOIs, keep the first valid one -----
+    cands = ex.select(
+        "url", "_idx", "_main", F.posexplode("_dois").alias("_pos", "_cand")
+    )
+    v = cands.join(auth, F.lower(cands["_cand"]) == auth["_adoi"], "left")
+    score = token_sort_ratio_udf(F.col("_akey"), F.lower(F.col("_main")))
+    v = v.withColumn(
+        "_valid",
+        _assume_valid(F.col("_main"))
+        | (F.col("_adoi").isNotNull() & (score >= F.lit(threshold))),
+    )
+    w = Window.partitionBy("url", "_idx").orderBy("_pos")
+    first_valid = (
+        v.where(F.col("_valid"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("url", "_idx", F.col("_cand").alias("_vdoi"))
+    )
+
+    base = ex.join(first_valid, ["url", "_idx"], "left")
+
+    # ---- tier S: citation → DOI search for entries with nothing else ---
+    need = base.where(
+        F.col("_vdoi").isNull()
+        & (F.col("_n_urls") == 0)
+        & F.col("_unk").isNotNull()
+    ).select("url", "_idx", F.lower(F.col("_unk")).alias("_ckey"))
+    keys = need.select("_ckey").distinct()
+    # blocking runs on punctuation-stripped keys (norm_key) — attached
+    # punctuation ('rand,' vs 'rand') otherwise craters the word-set
+    # jaccard and with it the minhash agreement probability; scoring
+    # stays on the raw lowercased strings (reference semantics).
+    from psyndex2linkeddata_spark.operators.linking import norm_key
+
+    keys_b = keys.withColumn("_ckey_b", norm_key(F.col("_ckey")))
+    # rows_per_band=1: any shared minhash surfaces the candidate pair
+    m_sig = minhash_signatures(
+        keys_b, "_ckey", "_ckey_b", num_hashes, n=1
+    ).select(
+        "_ckey", F.explode(lsh_bands(F.col("_sig"), num_hashes, 1)).alias("b")
+    ).select("_ckey", "b.band", "b.key")
+    auth_b = auth.withColumn("_akey_b", norm_key(F.col("_akey")))
+    a_sig = minhash_signatures(
+        auth_b, "_adoi", "_akey_b", num_hashes, n=1
+    ).join(auth, "_adoi").select(
+        "_akey",
+        "_doi_out",
+        F.explode(lsh_bands(F.col("_sig"), num_hashes, 1)).alias("b"),
+    ).select("_akey", "_doi_out", "b.band", "b.key")
+    pairs = m_sig.join(a_sig, ["band", "key"]).select(
+        "_ckey", "_akey", "_doi_out"
+    ).distinct()
+    scored = pairs.withColumn(
+        "_score", token_sort_ratio_udf(F.col("_akey"), F.col("_ckey"))
+    ).where(F.col("_score") >= F.lit(search_threshold))
+    wq = Window.partitionBy("_ckey").orderBy(F.col("_score").desc(), F.col("_doi_out"))
+    best = (
+        scored.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") == 1)
+        .select("_ckey", F.col("_doi_out").alias("_sdoi"))
+    )
+    searched = need.join(best, "_ckey", "left").select("url", "_idx", "_sdoi")
+
+    # ---- resolution map per record ------------------------------------
+    res = (
+        base.join(searched, ["url", "_idx"], "left")
+        .select(
+            "url",
+            "_idx",
+            F.coalesce(
+                F.when(F.col("_vdoi").isNotNull(), F.array(F.col("_vdoi"))),
+                F.when(F.col("_sdoi").isNotNull(), F.array(F.col("_sdoi"))),
+                F.array().cast("array<string>"),
+            ).alias("_new_dois"),
+        )
+        .groupBy("url")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_idx"), F.col("_new_dois")))
+            ).alias("_rplic_res")
+        )
+    )
+
+    out = records.join(res, "url", "left")
+    new_parsed = F.transform(
+        F.col("rplic_parsed"),
+        lambda p, i: F.struct(
+            p["cstr"].alias("cstr"),
+            p["dfk"].alias("dfk"),
+            p["main"].alias("main"),
+            F.struct(
+                F.coalesce(
+                    F.try_element_at(F.col("_rplic_res"), i), p["ids"]["dois"]
+                ).alias("dois"),
+                p["ids"]["urls"].alias("urls"),
+                p["ids"]["unknowns"].alias("unknowns"),
+            ).alias("ids"),
+        ),
+    )
+    return out.withColumn("rplic_parsed", new_parsed).drop("_rplic_res")

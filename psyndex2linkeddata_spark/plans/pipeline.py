@@ -119,7 +119,17 @@ def build_triples(
     records = extract_records(pages)
     if authorities and "bad_ids" in authorities:
         records = filter_bad_ids(records, authorities["bad_ids"])
-    triples = finalize(emit_triples(normalize(records)))
+    norm = normalize(records)
+    if authorities and "crossref" in authorities:
+        # J13/J14: offline Crossref DOI validation + citation→DOI search
+        from psyndex2linkeddata_spark.plans.crossref import resolve_rplic_dois
+
+        norm = resolve_rplic_dois(
+            norm,
+            authorities["crossref"],
+            search_threshold=authorities.get("crossref_search_threshold"),
+        )
+    triples = finalize(emit_triples(norm))
     if authorities:
         from psyndex2linkeddata_spark.plans.enrich import enrich_triples
 
