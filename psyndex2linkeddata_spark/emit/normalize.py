@@ -284,8 +284,92 @@ def relation_mentions() -> dict[str, Column]:
         "prereg_entries": prereg_entries,
         "rplic_parsed": rplic_parsed,
         "rel_parsed": rel_parsed,
+        "testg_parsed": testg_parsed_col(),
         "doi_checked": doi_checked,
     }
+
+
+def _nonempty(col: Column) -> Column:
+    return F.when(col.isNotNull() & (F.trim(col) != ""), col)
+
+
+def testg_longs_cols() -> dict[str, Column]:
+    """Two-stage TESTG long-name column: `_testg_longs_raw` extracts |l
+    and strips the '(PSYNDEX Tests …)' markers natively; `_testg_longs`
+    applies the ALL-CAPS title-casing via the Arrow UDF over the already
+    materialized array (pandas UDFs can't contain HOF lambdas in their
+    argument subtree)."""
+    from psyndex2linkeddata_spark.functions.text import title_except_if_upper_arr
+
+    raw = F.transform(
+        F.coalesce(F.col("TESTG"), F.array()),
+        lambda s: _nonempty(
+            F.regexp_replace(
+                subfield(s, "l"), r"\(PSYNDEX Tests (Review|Info|Abstract)\)", ""
+            )
+        ),
+    )
+    return {
+        "_testg_longs_raw": raw,
+        "_testg_longs": title_except_if_upper_arr(F.col("_testg_longs_raw")),
+    }
+
+
+def testg_parsed_col() -> Column:
+    """TESTG → array<struct> mirroring the reference's build_related_test
+    dict (research_info.py:1404-1525 / testing/TESTG/testg.py:105-244):
+    shortName from the mainfield, longName from |l with '(PSYNDEX Tests
+    Review/Info/Abstract)' markers removed and ALL-CAPS names title-cased
+    (helpers.title_except — Python .isupper()/.title() semantics, so the
+    casing runs in the Arrow-batched UDF over the extracted array),
+    relation usesTest/analyzesTest from |z, test_id |c, allItemsInWork |v,
+    uncontrolledTestId |n (digits only), remark |k extended with the
+    |u/|f/|d annotations.
+
+    The cased long names come from the pre-materialized `_testg_longs`
+    column (testg_longs_cols): a pandas UDF cannot sit in an expression
+    tree containing HOF lambdas, so extraction (native transform) and
+    casing (Arrow UDF) live in separate projections."""
+    tg = F.coalesce(F.col("TESTG"), F.array())
+    longs = F.col("_testg_longs")
+
+    def one(s: Column, i: Column) -> Column:
+        short = _nonempty(F.trim(mainfield(s)))
+        u_f, f_f, d_f, k_f = (subfield(s, c) for c in ("u", "f", "d", "k"))
+        u_part = F.when(
+            u_f.isNotNull() & (F.trim(u_f) != ""),
+            F.concat(F.lit("; Verwendete Variante oder Unterform: "), F.trim(u_f)),
+        ).otherwise(F.lit(""))
+        f_part = F.when(
+            f_f.isNotNull() & (F.trim(f_f) != ""),
+            F.concat(F.lit("; Langname verwendete Variante: "), F.trim(f_f)),
+        ).otherwise(F.lit(""))
+        d_part = F.when(
+            F.coalesce(F.trim(d_f), F.lit("")) == "x",
+            F.lit("; deutschsprachiger Test trotz englischen Titels"),
+        ).otherwise(F.lit(""))
+        raw = F.concat(F.coalesce(k_f, F.lit("")), u_part, f_part, d_part)
+        remark = F.when(
+            raw.startswith("; "), F.regexp_replace(raw, r"^[; ]+", "")
+        ).otherwise(raw)
+        unc_id = F.when(
+            F.trim(F.coalesce(subfield(s, "n"), F.lit(""))).rlike(r"^[0-9]+$"),
+            F.trim(subfield(s, "n")),
+        )
+        return F.struct(
+            short.alias("short"),
+            F.element_at(longs, i + 1).alias("long"),
+            F.when(
+                F.coalesce(F.trim(subfield(s, "z")), F.lit("")) == "x",
+                F.lit("analyzesTest"),
+            ).otherwise(F.lit("usesTest")).alias("relation"),
+            subfield(s, "c").alias("test_id"),
+            (F.coalesce(F.trim(subfield(s, "v")), F.lit("")) == "x").alias("items"),
+            _nonempty(remark).alias("remark"),
+            unc_id.alias("unc_id"),
+        )
+
+    return F.transform(tg, one)
 
 
 def normalize(records: DataFrame) -> DataFrame:
@@ -301,6 +385,7 @@ def normalize(records: DataFrame) -> DataFrame:
         lambda: {
             "work": work_uri(F.col("DFK")),
             "bundle": bundle_uri(F.col("DFK")),
+            **testg_longs_cols(),
             "contribs": contributions_col(records),
             "instances": instances_col(records),
             **relation_mentions(),

@@ -420,51 +420,24 @@ def related_works() -> Column:
 
 
 def tests_measures() -> Column:
-    """N14: TESTG → work#TestRelationship{index} (0-based) a
+    """N14: TESTG → work#TestRelationship{index} (1-based, research_info
+    .py:1524 `index + 1`) a
     bflc:Relationship + pxc:TestRelationship with pxc:Test node, long/short
     title nodes, PsytkomTestId from |c, uncontrolledTestId from |n,
     allItemsInWork from |v, remark |k (+ |u/|f/|d suffixes), relation
     usesTest / analyzesTest (|z x) (research_info.py:1404-1605)."""
 
-    def one(s: Column, i: Column) -> Column:
-        short = mainfield(s)
-        long_raw = subfield(s, "l")
-        long_clean = F.trim(
-            F.regexp_replace(
-                long_raw, r"\(PSYNDEX Tests (Review|Info|Abstract)\)", ""
-            )
-        )
-        # reference title-cases ALL-CAPS long names (title_except, a pandas
-        # UDF) — our corpus has none, so the native upper-check passthrough
-        long = long_clean
-        relation = F.when(
-            F.coalesce(subfield(s, "z"), F.lit("")) == "x", F.lit("analyzesTest")
-        ).otherwise(F.lit("usesTest"))
-        test_id = subfield(s, "c")
+    def one(p: Column, i: Column) -> Column:
+        short = p["short"]
+        long = p["long"]
+        relation = p["relation"]
+        test_id = p["test_id"]
         uncontrolled = test_id.isNull()
-        unc_id = subfield(s, "n")
-        items = F.when(
-            F.coalesce(subfield(s, "v"), F.lit("")) == "x", F.lit("true")
-        ).otherwise(F.lit("false"))
-        remark0 = subfield(s, "k")
-        u_f = subfield(s, "u")
-        f_f = subfield(s, "f")
-        d_f = subfield(s, "d")
-        remark = remark0
-        remark = F.when(
-            remark.isNotNull() & u_f.isNotNull(),
-            F.concat(remark, F.lit("; Verwendete Variante oder Unterform: "), u_f),
-        ).otherwise(remark)
-        remark = F.when(
-            remark.isNotNull() & f_f.isNotNull(),
-            F.concat(remark, F.lit("; Langname verwendete Variante: "), f_f),
-        ).otherwise(remark)
-        remark = F.when(
-            remark.isNotNull() & (F.coalesce(d_f, F.lit("")) == "x"),
-            F.concat(remark, F.lit("; deutschsprachiger Test trotz englischen Titels")),
-        ).otherwise(remark)
+        unc_id = p["unc_id"]
+        items = F.when(p["items"], F.lit("true")).otherwise(F.lit("false"))
+        remark = p["remark"]
 
-        rel = F.concat(W(), F.lit("#TestRelationship"), i.cast("string"))
+        rel = F.concat(W(), F.lit("#TestRelationship"), (i + 1).cast("string"))
         test = F.concat(rel, F.lit("_test"))
         long_node = F.when(long.isNotNull(), F.concat(test, F.lit("_longName")))
         short_node = F.when(short.isNotNull(), F.concat(test, F.lit("_shortName")))
@@ -500,7 +473,7 @@ def tests_measures() -> Column:
         )
         return F.filter(arr, lambda t: valid & t["obj"].isNotNull() & t["subj"].isNotNull())
 
-    return pack_arr(F.flatten(F.transform(F.coalesce(F.col("TESTG"), F.array()), one)))
+    return pack_arr(F.flatten(F.transform(F.col("testg_parsed"), one)))
 
 
 def journal_relation() -> Column:

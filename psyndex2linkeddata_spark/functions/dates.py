@@ -28,8 +28,28 @@ _FORMATS = [
 
 
 def parse_fuzzy_date(col: Column) -> Column:
-    """Date from the format cascade; NULL if nothing matches."""
+    """Date from the format cascade; NULL if nothing matches.
+
+    Two-digit years ('14.12.99') expand with dateparser's
+    PREFER_DATES_FROM='past' century choice (research_info.py:1800):
+    the century that keeps the year in the past — yy beyond the current
+    year's last two digits → 19yy, else 20yy."""
     s = F.trim(col)
+    yy = F.regexp_extract(s, r"^(\d{1,2})\.(\d{1,2})\.(\d{2})$", 3)
+    century = F.when(
+        yy.cast("int") > F.year(F.current_date()) % 100, F.lit("19")
+    ).otherwise(F.lit("20"))
+    s = F.when(
+        F.length(yy) > 0,
+        F.concat(
+            F.regexp_extract(s, r"^(\d{1,2})\.(\d{1,2})\.(\d{2})$", 1),
+            F.lit("."),
+            F.regexp_extract(s, r"^(\d{1,2})\.(\d{1,2})\.(\d{2})$", 2),
+            F.lit("."),
+            century,
+            yy,
+        ),
+    ).otherwise(s)
     attempts = [F.try_to_timestamp(s, F.lit(fmt)).cast("date") for fmt in _FORMATS]
     return F.coalesce(*attempts)
 

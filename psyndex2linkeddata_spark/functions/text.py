@@ -25,30 +25,78 @@ _TITLE_STOPWORDS = [
 _ALLCAPS_EXCEPTIONS = ["WHO", "HEXACO", "DSM-III-R", "DSM-IV", "ICD-10", "ICD-11", "III", "D"]
 
 
-def _title_except_fn(s: pd.Series) -> pd.Series:
+def _title_one(text):
+    """Behavioral port of the reference's helpers.title_except:95-154
+    (whitespace split drops empties; hyphenated tokens are matched
+    against multi-part ALLCAPS exceptions longest-first, remaining parts
+    title-cased — parts after the first are treated as word-initial)."""
+    if text is None:
+        return None
     stop = set(_TITLE_STOPWORDS)
-    allcaps = set(_ALLCAPS_EXCEPTIONS)
+    allcaps = _ALLCAPS_EXCEPTIONS
 
-    def _one(text):
-        if text is None:
-            return None
-        out = []
-        for i, word in enumerate(text.split(" ")):
-            if word in allcaps:
-                out.append(word)
-            elif i == 0 or word.lower() not in stop:
-                out.append(word.title())
-            else:
-                out.append(word.lower())
-        return " ".join(out)
+    def cap(word, is_first):
+        if word in allcaps:
+            return word
+        if is_first or word.lower() not in stop:
+            return word.title()
+        return word.lower()
 
-    return s.map(_one)
+    def token(tok, is_first):
+        if tok in allcaps:
+            return tok
+        parts = tok.split("-")
+        out, i = [], 0
+        while i < len(parts):
+            matched = False
+            for exc in sorted(allcaps, key=len, reverse=True):
+                ep = exc.split("-")
+                if parts[i : i + len(ep)] == ep:
+                    out.append(exc)
+                    i += len(ep)
+                    matched = True
+                    break
+            if not matched:
+                out.append(cap(parts[i], is_first or i > 0))
+                i += 1
+            is_first = False
+        return "-".join(out)
+
+    return " ".join(
+        w if w in allcaps else token(w, i == 0)
+        for i, w in enumerate(text.split())
+    )
+
+
+def _title_except_fn(s: pd.Series) -> pd.Series:
+    return s.map(_title_one)
 
 
 def title_except(col: Column) -> Column:
     """F10 (Arrow tier): title-case with German/English stop words and
     ALLCAPS exceptions."""
     return pandas_udf(_title_except_fn, "string")(col)
+
+
+def _title_except_if_upper_arr_fn(s: pd.Series) -> pd.Series:
+    def _arr(values):
+        if values is None:
+            return None
+        # reference gate: `if longName and longName.isupper()` — Python
+        # semantics (at least one cased char, all of them uppercase)
+        return [
+            _title_one(v) if v is not None and v.isupper() else v for v in values
+        ]
+
+    return s.map(_arr)
+
+
+def title_except_if_upper_arr(col: Column) -> Column:
+    """Array tier of F10 for repeated fields (pandas UDFs can't run inside
+    higher-order-function lambdas): title-case each element that Python's
+    str.isupper() flags as ALL-CAPS, pass others through unchanged
+    (research_info.py:1434-1437)."""
+    return pandas_udf(_title_except_if_upper_arr_fn, "array<string>")(col)
 
 
 def camel_case(col: Column) -> Column:

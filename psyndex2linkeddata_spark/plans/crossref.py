@@ -178,3 +178,101 @@ def resolve_rplic_dois(
         ),
     )
     return out.withColumn("rplic_parsed", new_parsed).drop("_rplic_res")
+
+
+def _dsm_icd_mismatch(a, b):
+    """The reference's guard against classification-version confusions
+    (research_info.py:1366-1369): a ≥-threshold match is still rejected
+    when the two names disagree on DSM/ICD versions. The condition list
+    (including its asymmetry — no DSM-5-in-db vs DSM-IV-in-record case)
+    is mirrored verbatim."""
+    return (
+        (a.contains("DSM-III") & b.contains("DSM-IV"))
+        | (b.contains("DSM-III") & a.contains("DSM-IV"))
+        | (a.contains("DSM-IV") & b.contains("DSM-5"))
+        | (a.contains("ICD-10") & b.contains("ICD-11"))
+        | (a.contains("ICD-11") & b.contains("ICD-10"))
+    )
+
+
+def resolve_testg_ids(
+    records: DataFrame,
+    auth_tests: DataFrame,
+    threshold: float = 70.0,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """J15: fill `testg_parsed[*].test_id` for uncontrolled entries by
+    fuzzy longName lookup against the offline test database
+    (auth_tests(test_id, long_name) — the all_tests.json dump the
+    reference loads in research_info.py:1355-1373).
+
+    Blocking: word-MinHash LSH on punctuation-normalized lowercased names
+    (rows_per_band=1); scoring: token_sort_ratio on the RAW names (the
+    reference passes unprocessed strings — case matters); acceptance:
+    score ≥ 70 and no DSM/ICD version mismatch; tie-break: best score,
+    then test_id (the reference takes the first file-order hit — file
+    order is not meaningful offline, declared deviation)."""
+    from psyndex2linkeddata_spark.operators.linking import norm_key
+
+    auth = auth_tests.select(
+        F.col("test_id").alias("_tid"), F.col("long_name").alias("_aname")
+    ).dropDuplicates(["_aname"])
+
+    ex = records.select(
+        F.col("url"), F.posexplode("testg_parsed").alias("_idx", "_p")
+    ).where(
+        F.col("_p")["test_id"].isNull() & F.col("_p")["long"].isNotNull()
+    ).select("url", "_idx", F.col("_p")["long"].alias("_lname"))
+
+    keys = ex.select("_lname").distinct().withColumn(
+        "_lname_b", norm_key(F.col("_lname"))
+    )
+    m_sig = minhash_signatures(keys, "_lname", "_lname_b", num_hashes, n=1).select(
+        "_lname", F.explode(lsh_bands(F.col("_sig"), num_hashes, 1)).alias("b")
+    ).select("_lname", "b.band", "b.key")
+    auth_b = auth.withColumn("_aname_b", norm_key(F.col("_aname")))
+    a_sig = minhash_signatures(
+        auth_b, "_tid", "_aname_b", num_hashes, n=1
+    ).join(auth, "_tid").select(
+        "_tid", "_aname", F.explode(lsh_bands(F.col("_sig"), num_hashes, 1)).alias("b")
+    ).select("_tid", "_aname", "b.band", "b.key")
+    pairs = m_sig.join(a_sig, ["band", "key"]).select("_lname", "_tid", "_aname").distinct()
+    scored = pairs.withColumn(
+        "_score", token_sort_ratio_udf(F.col("_aname"), F.col("_lname"))
+    ).where(
+        (F.col("_score") >= F.lit(threshold))
+        & ~_dsm_icd_mismatch(F.col("_aname"), F.col("_lname"))
+    )
+    w = Window.partitionBy("_lname").orderBy(F.col("_score").desc(), F.col("_tid"))
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("_lname", F.col("_tid").alias("_found"))
+    )
+    res = (
+        ex.join(best, "_lname", "left")
+        .where(F.col("_found").isNotNull())
+        .groupBy("url")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_idx"), F.col("_found")))
+            ).alias("_testg_res")
+        )
+    )
+
+    out = records.join(res, "url", "left")
+    new_parsed = F.transform(
+        F.col("testg_parsed"),
+        lambda p, i: F.struct(
+            p["short"].alias("short"),
+            p["long"].alias("long"),
+            p["relation"].alias("relation"),
+            F.coalesce(
+                p["test_id"], F.try_element_at(F.col("_testg_res"), i)
+            ).alias("test_id"),
+            p["items"].alias("items"),
+            p["remark"].alias("remark"),
+            p["unc_id"].alias("unc_id"),
+        ),
+    )
+    return out.withColumn("testg_parsed", new_parsed).drop("_testg_res")

@@ -129,6 +129,11 @@ def build_triples(
             authorities["crossref"],
             search_threshold=authorities.get("crossref_search_threshold"),
         )
+    if authorities and "tests" in authorities:
+        # J15: fuzzy longName → test database id for uncontrolled TESTG
+        from psyndex2linkeddata_spark.plans.crossref import resolve_testg_ids
+
+        norm = resolve_testg_ids(norm, authorities["tests"])
     triples = finalize(emit_triples(norm))
     if authorities:
         from psyndex2linkeddata_spark.plans.enrich import enrich_triples

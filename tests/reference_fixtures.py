@@ -78,6 +78,54 @@ def rplic_golden_dois() -> dict[int, str]:
     return out
 
 
+TESTG_PY = "/root/reference/testing/TESTG/testg.py"
+TESTG_TTL = "/root/reference/testing/TESTG/testg.ttl"
+
+
+def load_testg_strings() -> list[str]:
+    """The reference's checked-in TESTG corpus, extracted by AST parse so
+    Python's implicit string concatenation ('|n 0000' '|x 8866' with only
+    a comment between) yields the exact list the golden TTL was built
+    from."""
+    import ast
+
+    with open(TESTG_PY, encoding="utf-8") as f:
+        tree = ast.parse(f.read())
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Assign)
+            and getattr(node.targets[0], "id", None) == "testgs"
+        ):
+            return list(ast.literal_eval(node.value))
+    raise AssertionError("testgs list not found")
+
+
+def testg_auth_tests() -> list[tuple[str, str]]:
+    """(test_id, long_name) rows reproducing the reference's
+    all_tests.json lookups: for every golden work whose PsytkomTestId
+    could only have come from the fuzzy longName lookup (the input TESTG
+    had no usable |c), one row with the golden test node's longName."""
+    from psyndex2linkeddata_spark.sources.turtle import parse_turtle
+
+    strings = load_testg_strings()
+    with open(TESTG_TTL, encoding="utf-8") as f:
+        ttl = parse_turtle(f.read())
+    tid, lname = {}, {}
+    for t in ttl:
+        m = re.match(rf"{REF_WORKS}(\d+)#TestRelationship_test_testId$", t[0])
+        if m and t[1].endswith("#value"):
+            tid[int(m.group(1))] = str(t[2])
+        m = re.match(rf"{REF_WORKS}(\d+)#TestRelationship_test_longName$", t[0])
+        if m and t[1].endswith("mainTitle"):
+            lname[int(m.group(1))] = str(t[2])
+    rows = []
+    for i, t in sorted(tid.items()):
+        c = oracles.get_subfield(oracles.clean(strings[i]), "c")
+        if (c is None or c.strip() == "") and i in lname:
+            rows.append((t, lname[i]))
+    return rows
+
+
 def rplic_crossref_authority() -> list[tuple[str, str, str]]:
     """(doi, title, authors) rows for every golden-kept DOI with a
     comparable citation — the offline Crossref works slice."""
