@@ -178,6 +178,26 @@ def auth_concepts_rows(seed: int = 42) -> list[dict]:
                 "ancestors": [],
             }
         )
+    # licenses vocab (J6 license half): one concept per mapped code in
+    # functions/licenses (the reference labels these via Skosmos)
+    from psyndex2linkeddata_spark.functions.licenses import _EXACT_LICENSE_CODES
+
+    license_suffixes = sorted(
+        set(_EXACT_LICENSE_CODES.values())
+        | {"AUTH", "PUBL", "HogrefeOpenMind", "ExclusiveSpringer",
+           "UnspecifiedOpenLicense"}
+    )
+    for suffix in license_suffixes:
+        rows.append(
+            {
+                "vocab": "licenses",
+                "label_en": suffix.replace("_", " "),
+                "label_de": "Lizenz " + suffix.replace("_", " "),
+                "uri": f"https://w3id.org/zpid/vocabs/licenses/{suffix}",
+                "code": suffix,
+                "ancestors": [],
+            }
+        )
     return rows
 
 

@@ -26,18 +26,31 @@ from psyndex2linkeddata_spark.emit.base import T, frag, pack_arr, subfrag
 def W():
     return F.col("work")
 
+def _geo_pairs():
+    """casefold-key → (name, gid), first occurrence wins — the reference
+    table carries literal duplicate rows (Malawi, Taiwan, Czech Republic)
+    and its lookup is first-match (helpers.py:378-382); Spark's
+    create_map refuses duplicate keys (mapKeyDedupPolicy=EXCEPTION)."""
+    seen = {}
+    for name, gid, _iso in geonames_countries:
+        seen.setdefault(name.casefold(), (name, gid))
+    return seen
+
+
 def _GEO_NAME():
     return F.create_map(
-    *chain.from_iterable(
-        (F.lit(name.casefold()), F.lit(name)) for name, _gid, _iso in geonames_countries
+        *chain.from_iterable(
+            (F.lit(k), F.lit(name)) for k, (name, _gid) in _geo_pairs().items()
+        )
     )
-)
+
+
 def _GEO_ID():
     return F.create_map(
-    *chain.from_iterable(
-        (F.lit(name.casefold()), F.lit(gid)) for name, gid, _iso in geonames_countries
+        *chain.from_iterable(
+            (F.lit(k), F.lit(gid)) for k, (_name, gid) in _geo_pairs().items()
+        )
     )
-)
 
 
 def geonames_name(country: Column) -> Column:

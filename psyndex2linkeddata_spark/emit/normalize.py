@@ -265,16 +265,40 @@ def relation_mentions() -> dict[str, Column]:
             ).alias("ids"),
         ),
     )
+    def _rel_citation(s: Column) -> Column:
+        """|a/|t/|j/|q → the reference's composed citation cascade
+        (research_info.py:1253-1267)."""
+        title = subfield(s, "t")
+        author = subfield(s, "a")
+        year = subfield(s, "j")
+        source = subfield(s, "q")
+        return (
+            F.when(
+                title.isNotNull() & author.isNotNull() & year.isNotNull() & source.isNotNull(),
+                F.concat(author, F.lit(": "), title, F.lit("; "), year, F.lit("; "), source),
+            )
+            .when(
+                title.isNotNull() & author.isNotNull() & year.isNotNull(),
+                F.concat(author, F.lit(": "), title, F.lit("; "), year),
+            )
+            .when(title.isNotNull() & author.isNotNull(), F.concat(author, F.lit(": "), title))
+            .when(
+                title.isNotNull() & year.isNotNull() & source.isNotNull(),
+                F.concat(title, F.lit("; "), year, F.lit("; "), source),
+            )
+            .when(title.isNotNull() & year.isNotNull(), F.concat(title, F.lit("; "), year))
+            .otherwise(title)
+        )
+
     rel_parsed = F.transform(
         F.coalesce(F.col("REL"), F.array()),
         lambda s: F.struct(
             F.trim(s).alias("cstr"),
             subfield(s, "b").alias("b"),
             _checked(F.trim(s)).alias("checked"),
-            subfield(s, "t").alias("title"),
-            subfield(s, "a").alias("author"),
-            subfield(s, "j").alias("year"),
-            subfield(s, "q").alias("source"),
+            _rel_citation(s).alias("citation"),
+            # filled by plans.crossref.resolve_rel_dois (J14, threshold 60)
+            F.lit(None).cast("string").alias("crossref_doi"),
         ),
     )
     doi_checked = _checked(F.col("DOI"))

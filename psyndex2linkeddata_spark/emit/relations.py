@@ -383,22 +383,11 @@ def related_works() -> Column:
         checked = p["checked"]
         doi = F.when(dfk.isNull() & (checked["type"] == "doi"), checked["value"])
         url = F.when(dfk.isNull() & (checked["type"] == "url"), checked["value"])
-        # citation from |a/|t/|j (year!)/|q, reference's concat priority
-        title = p["title"]
-        author = p["author"]
-        year = p["year"]
-        source = p["source"]
-        citation = (
-            F.when(title.isNotNull() & author.isNotNull() & year.isNotNull() & source.isNotNull(),
-                   F.concat(author, F.lit(": "), title, F.lit("; "), year, F.lit("; "), source))
-            .when(title.isNotNull() & author.isNotNull() & year.isNotNull(),
-                  F.concat(author, F.lit(": "), title, F.lit("; "), year))
-            .when(title.isNotNull() & author.isNotNull(), F.concat(author, F.lit(": "), title))
-            .when(title.isNotNull() & year.isNotNull() & source.isNotNull(),
-                  F.concat(title, F.lit("; "), year, F.lit("; "), source))
-            .when(title.isNotNull() & year.isNotNull(), F.concat(title, F.lit("; "), year))
-            .otherwise(title)
-        )
+        # composed |a/|t/|j/|q citation (hoisted into rel_parsed); the
+        # crossref_doi tier (J14, research_info.py:1268-1276) fills in
+        # when plans.crossref.resolve_rel_dois ran with an authority
+        citation = p["citation"]
+        crossref_doi = p["crossref_doi"]
         dfk_id_node = F.concat(inst, F.lit("_dfk"))
         id_triples = (
             F.when(
@@ -411,6 +400,7 @@ def related_works() -> Column:
             )
             .when(doi.isNotNull(), _doi_triples(inst, doi))
             .when(url.isNotNull(), _locator_triple(inst, url))
+            .when(crossref_doi.isNotNull(), _doi_triples(inst, crossref_doi))
             .when(citation.isNotNull(), F.array(T(inst, NS.BF + "preferredCitation", citation)))
             .otherwise(F.array(T(F.lit(None).cast("string"), NS.RDF + "value", F.lit(None))))
         )

@@ -40,6 +40,47 @@ def _assume_valid(citation):
     return (c == "") | c.startswith("http") | c.startswith("10.")
 
 
+def _citation_search(
+    keys: DataFrame, auth: DataFrame, threshold: float, num_hashes: int
+) -> DataFrame:
+    """Tier S kernel: distinct citation keys (_ckey, lowercased) → best
+    authority DOI (_ckey, _sdoi) with token_sort_ratio ≥ threshold.
+
+    Blocking runs on punctuation-stripped keys (norm_key) — attached
+    punctuation ('rand,' vs 'rand') otherwise craters the word-set
+    jaccard and with it the minhash agreement probability; scoring stays
+    on the raw lowercased strings (reference semantics). rows_per_band=1:
+    any shared minhash surfaces the candidate pair."""
+    from psyndex2linkeddata_spark.operators.linking import norm_key
+
+    keys_b = keys.withColumn("_ckey_b", norm_key(F.col("_ckey")))
+    m_sig = minhash_signatures(
+        keys_b, "_ckey", "_ckey_b", num_hashes, n=1
+    ).select(
+        "_ckey", F.explode(lsh_bands(F.col("_sig"), num_hashes, 1)).alias("b")
+    ).select("_ckey", "b.band", "b.key")
+    auth_b = auth.withColumn("_akey_b", norm_key(F.col("_akey")))
+    a_sig = minhash_signatures(
+        auth_b, "_adoi", "_akey_b", num_hashes, n=1
+    ).join(auth, "_adoi").select(
+        "_akey",
+        "_doi_out",
+        F.explode(lsh_bands(F.col("_sig"), num_hashes, 1)).alias("b"),
+    ).select("_akey", "_doi_out", "b.band", "b.key")
+    pairs = m_sig.join(a_sig, ["band", "key"]).select(
+        "_ckey", "_akey", "_doi_out"
+    ).distinct()
+    scored = pairs.withColumn(
+        "_score", token_sort_ratio_udf(F.col("_akey"), F.col("_ckey"))
+    ).where(F.col("_score") >= F.lit(threshold))
+    wq = Window.partitionBy("_ckey").orderBy(F.col("_score").desc(), F.col("_doi_out"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") == 1)
+        .select("_ckey", F.col("_doi_out").alias("_sdoi"))
+    )
+
+
 def resolve_rplic_dois(
     records: DataFrame,
     auth_crossref: DataFrame,
@@ -105,39 +146,8 @@ def resolve_rplic_dois(
         & (F.col("_n_urls") == 0)
         & F.col("_unk").isNotNull()
     ).select("url", "_idx", F.lower(F.col("_unk")).alias("_ckey"))
-    keys = need.select("_ckey").distinct()
-    # blocking runs on punctuation-stripped keys (norm_key) — attached
-    # punctuation ('rand,' vs 'rand') otherwise craters the word-set
-    # jaccard and with it the minhash agreement probability; scoring
-    # stays on the raw lowercased strings (reference semantics).
-    from psyndex2linkeddata_spark.operators.linking import norm_key
-
-    keys_b = keys.withColumn("_ckey_b", norm_key(F.col("_ckey")))
-    # rows_per_band=1: any shared minhash surfaces the candidate pair
-    m_sig = minhash_signatures(
-        keys_b, "_ckey", "_ckey_b", num_hashes, n=1
-    ).select(
-        "_ckey", F.explode(lsh_bands(F.col("_sig"), num_hashes, 1)).alias("b")
-    ).select("_ckey", "b.band", "b.key")
-    auth_b = auth.withColumn("_akey_b", norm_key(F.col("_akey")))
-    a_sig = minhash_signatures(
-        auth_b, "_adoi", "_akey_b", num_hashes, n=1
-    ).join(auth, "_adoi").select(
-        "_akey",
-        "_doi_out",
-        F.explode(lsh_bands(F.col("_sig"), num_hashes, 1)).alias("b"),
-    ).select("_akey", "_doi_out", "b.band", "b.key")
-    pairs = m_sig.join(a_sig, ["band", "key"]).select(
-        "_ckey", "_akey", "_doi_out"
-    ).distinct()
-    scored = pairs.withColumn(
-        "_score", token_sort_ratio_udf(F.col("_akey"), F.col("_ckey"))
-    ).where(F.col("_score") >= F.lit(search_threshold))
-    wq = Window.partitionBy("_ckey").orderBy(F.col("_score").desc(), F.col("_doi_out"))
-    best = (
-        scored.withColumn("_rn", F.row_number().over(wq))
-        .where(F.col("_rn") == 1)
-        .select("_ckey", F.col("_doi_out").alias("_sdoi"))
+    best = _citation_search(
+        need.select("_ckey").distinct(), auth, search_threshold, num_hashes
     )
     searched = need.join(best, "_ckey", "left").select("url", "_idx", "_sdoi")
 
@@ -178,6 +188,64 @@ def resolve_rplic_dois(
         ),
     )
     return out.withColumn("rplic_parsed", new_parsed).drop("_rplic_res")
+
+
+def resolve_rel_dois(
+    records: DataFrame,
+    auth_crossref: DataFrame,
+    threshold: float = 60.0,
+    search_threshold: float | None = None,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """J14 for REL fields: fill `rel_parsed[*].crossref_doi` by searching
+    the offline Crossref authority with the composed |a/|t/|j/|q citation
+    (research_info.py:1268-1276; similarity_threshold=60 — 'low … to get
+    most of the RELs'). Only entries whose whole string classified as
+    'unknown' (no inline DOI/URL) and that don't lead with a DFK are
+    searched; REL has no validation tier (inline DOIs are trusted)."""
+    if search_threshold is None:
+        search_threshold = threshold
+    auth = auth_crossref.select(
+        F.lower(F.trim(F.col("doi"))).alias("_adoi"),
+        F.lower(
+            F.concat_ws(" ", F.col("title"), F.coalesce(F.col("authors"), F.lit("")))
+        ).alias("_akey"),
+        F.col("doi").alias("_doi_out"),
+    ).dropDuplicates(["_adoi"])
+
+    ex = records.select(
+        F.col("url"), F.posexplode("rel_parsed").alias("_idx", "_p")
+    ).where(
+        (F.col("_p")["checked"]["type"] == "unknown")
+        & F.col("_p")["citation"].isNotNull()
+        & ~F.substring(F.col("_p")["cstr"], 1, 7).rlike(r"^\d{7}$")
+    ).select("url", "_idx", F.lower(F.col("_p")["citation"]).alias("_ckey"))
+
+    best = _citation_search(
+        ex.select("_ckey").distinct(), auth, search_threshold, num_hashes
+    )
+    res = (
+        ex.join(best, "_ckey", "left")
+        .where(F.col("_sdoi").isNotNull())
+        .groupBy("url")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_idx"), F.col("_sdoi")))
+            ).alias("_rel_res")
+        )
+    )
+    out = records.join(res, "url", "left")
+    new_parsed = F.transform(
+        F.col("rel_parsed"),
+        lambda p, i: F.struct(
+            p["cstr"].alias("cstr"),
+            p["b"].alias("b"),
+            p["checked"].alias("checked"),
+            p["citation"].alias("citation"),
+            F.try_element_at(F.col("_rel_res"), i).alias("crossref_doi"),
+        ),
+    )
+    return out.withColumn("rel_parsed", new_parsed).drop("_rel_res")
 
 
 def _dsm_icd_mismatch(a, b):

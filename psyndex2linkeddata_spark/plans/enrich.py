@@ -98,20 +98,92 @@ def genre_labels(triples: DataFrame, concepts: DataFrame) -> DataFrame:
     )
 
 
+def license_labels(triples: DataFrame, concepts: DataFrame) -> DataFrame:
+    """J6 (license half): skos prefLabels for every usageAndAccessPolicy
+    license node (reference local_api_lookups.py:129-156 — per-node
+    Skosmos label lookups become one broadcast join over the distinct
+    license URIs)."""
+    nodes = (
+        triples.where(F.col("pred") == NS.BF + "usageAndAccessPolicy")
+        .select(F.col("obj").alias("lnode"))
+        .distinct()
+    )
+    vocab = concepts.where(F.col("vocab") == "licenses").select(
+        "uri", "label_en", "label_de"
+    )
+    joined = nodes.join(F.broadcast(vocab), nodes["lnode"] == vocab["uri"])
+    return _rows(
+        joined,
+        _triple("lnode", NS.SKOS + "prefLabel", "label_de", iri=False, lang="de"),
+        _triple("lnode", NS.SKOS + "prefLabel", "label_en", iri=False, lang="en"),
+    )
+
+
+def country_fill(triples: DataFrame, auth_orgs: DataFrame) -> DataFrame:
+    """J2: affiliations WITHOUT a country (no |c subfield → the emit stage
+    created no _address node) get one from the resolved ROR org
+    (contributions.py:114-222): …_address a mads:Address via
+    mads:hasAffiliationAddress, …_address_country a mads:Country with the
+    geonames-improved label + _geonamesid a locid:geonames."""
+    from psyndex2linkeddata_spark.emit.contributions import geonames_id, geonames_name
+
+    orgs = triples.where(
+        F.col("subj").endswith("_organization") & (F.col("pred") == NS.RDFS_LABEL)
+    ).select(
+        F.regexp_replace("subj", "_organization$", "").alias("aff"),
+        norm_key(F.col("obj")).alias("_key"),
+    )
+    # only affiliations that don't already carry an address
+    have_addr = triples.where(
+        F.col("pred") == NS.MADS + "hasAffiliationAddress"
+    ).select(F.col("subj").alias("aff"))
+    need = orgs.join(have_addr, "aff", "left_anti")
+    authority = _org_authority(auth_orgs).where(F.col("country_name").isNotNull())
+    j = need.join(F.broadcast(authority), "_key")
+    j = (
+        j.withColumn("addr", F.concat("aff", F.lit("_address")))
+        .withColumn("cnode", F.concat("addr", F.lit("_country")))
+        .withColumn(
+            "clabel",
+            F.coalesce(geonames_name(F.col("country_name")), F.col("country_name")),
+        )
+        .withColumn("gid", geonames_id(F.col("country_name")))
+        .withColumn(
+            "gnode",
+            F.when(
+                F.col("gid").isNotNull(), F.concat("cnode", F.lit("_geonamesid"))
+            ),
+        )
+    )
+    return _rows(
+        j,
+        _triple("aff", NS.MADS + "hasAffiliationAddress", "addr"),
+        _triple("addr", NS.RDF_TYPE, F.lit(NS.MADS + "Address")),
+        _triple("addr", NS.MADS + "country", "cnode"),
+        _triple("cnode", NS.RDF_TYPE, F.lit(NS.MADS + "Country")),
+        _triple("cnode", NS.RDFS_LABEL, "clabel", iri=False),
+        _triple("cnode", NS.BF + "identifiedBy", "gnode"),
+        _triple("gnode", NS.RDF_TYPE, F.lit(NS.LOCID + "geonames")),
+        _triple("gnode", NS.RDF + "value", "gid", iri=False),
+    )
+
+
 def _org_authority(auth_orgs: DataFrame) -> DataFrame:
     """(norm name/alias key → org row), names before aliases on conflicts."""
     names = auth_orgs.select(
         norm_key(F.col("name")).alias("_key"),
         "org_id",
         "fundref_doi",
+        "country_name",
         F.lit(0).alias("_pref"),
     )
     aliases = auth_orgs.select(
-        F.explode("aliases").alias("_alias"), "org_id", "fundref_doi"
+        F.explode("aliases").alias("_alias"), "org_id", "fundref_doi", "country_name"
     ).select(
         norm_key(F.col("_alias")).alias("_key"),
         "org_id",
         "fundref_doi",
+        "country_name",
         F.lit(1).alias("_pref"),
     )
     w = Window.partitionBy("_key").orderBy("_pref", "org_id")
@@ -191,10 +263,12 @@ def enrich_triples(triples: DataFrame, authorities: dict[str, DataFrame]) -> Dat
     if concepts is not None:
         adds.append(topic_links(triples, concepts))
         adds.append(genre_labels(triples, concepts))
+        adds.append(license_labels(triples, concepts))
         triples = clean_genres(triples, genre_ancestor_closure(concepts))
     if orgs is not None:
         adds.append(ror_links(triples, orgs))
         adds.append(fundref_links(triples, orgs))
+        adds.append(country_fill(triples, orgs))
     out = triples
     for a in adds:
         out = out.unionByName(a)

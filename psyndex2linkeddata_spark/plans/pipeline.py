@@ -122,12 +122,20 @@ def build_triples(
     norm = normalize(records)
     if authorities and "crossref" in authorities:
         # J13/J14: offline Crossref DOI validation + citation→DOI search
-        from psyndex2linkeddata_spark.plans.crossref import resolve_rplic_dois
+        from psyndex2linkeddata_spark.plans.crossref import (
+            resolve_rel_dois,
+            resolve_rplic_dois,
+        )
 
         norm = resolve_rplic_dois(
             norm,
             authorities["crossref"],
             search_threshold=authorities.get("crossref_search_threshold"),
+        )
+        norm = resolve_rel_dois(
+            norm,
+            authorities["crossref"],
+            search_threshold=authorities.get("crossref_rel_search_threshold"),
         )
     if authorities and "tests" in authorities:
         # J15: fuzzy longName → test database id for uncontrolled TESTG

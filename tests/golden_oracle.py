@@ -1262,6 +1262,41 @@ def apply_cleanup_and_enrich(t: set, authorities: dict | None = None) -> set:
                 adds.add((fn, NS.RDF_TYPE, NS.PXC + "FundRefDoi", True, None, None))
                 adds.add((fn, NS.RDF + "value", r["fundref_doi"], False, None, None))
                 adds.add((s, NS.BF + "identifiedBy", fn, True, None, None))
+    # J6 license half: prefLabels on usageAndAccessPolicy license nodes
+    license_rows = {r["uri"]: r for r in concepts if r["vocab"] == "licenses"}
+    lic_nodes = {
+        o for (s, p, o, *_x) in t if p == NS.BF + "usageAndAccessPolicy"
+    }
+    for ln in lic_nodes:
+        r = license_rows.get(ln)
+        if r:
+            adds.add((ln, NS.SKOS + "prefLabel", r["label_de"], False, "de", None))
+            adds.add((ln, NS.SKOS + "prefLabel", r["label_en"], False, "en", None))
+    # J2: country fill-in from the resolved org for affiliations without
+    # an address (contributions.py:114-222)
+    have_addr = {s for (s, p, o, *_x) in t if p == NS.MADS + "hasAffiliationAddress"}
+    for (s, p, o, iri, lang, dtype) in list(t):
+        if p == NS.RDFS_LABEL and s.endswith("_organization"):
+            aff = s[: -len("_organization")]
+            if aff in have_addr:
+                continue
+            r = org_map.get(_norm_key(o))
+            if not (r and r.get("country_name")):
+                continue
+            addr = aff + "_address"
+            cn = addr + "_country"
+            geo = GEO.get(r["country_name"].casefold())
+            label = geo[0] if geo else r["country_name"]
+            adds.add((aff, NS.MADS + "hasAffiliationAddress", addr, True, None, None))
+            adds.add((addr, NS.RDF_TYPE, NS.MADS + "Address", True, None, None))
+            adds.add((addr, NS.MADS + "country", cn, True, None, None))
+            adds.add((cn, NS.RDF_TYPE, NS.MADS + "Country", True, None, None))
+            adds.add((cn, NS.RDFS_LABEL, label, False, None, None))
+            if geo:
+                gn = cn + "_geonamesid"
+                adds.add((cn, NS.BF + "identifiedBy", gn, True, None, None))
+                adds.add((gn, NS.RDF_TYPE, NS.LOCID + "geonames", True, None, None))
+                adds.add((gn, NS.RDF + "value", geo[1], False, None, None))
     return t | adds
 
 

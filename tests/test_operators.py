@@ -255,3 +255,77 @@ def test_sample_frames_grid(spark):
         by_media.setdefault(r.media_id, []).append(r.frame_idx)
     for mid, idxs in by_media.items():
         assert sorted(idxs) == list(range(len(idxs)))
+
+
+def test_rel_crossref_doi_search(spark):
+    """J14 for REL: a citation-only REL resolves to the authority DOI at
+    threshold 60 (research_info.py:1268-1276); without an authority the
+    composed citation is kept as preferredCitation."""
+    from psyndex2linkeddata_spark.plans.pipeline import build_triples
+    from psyndex2linkeddata_spark.schema import pages_schema
+
+    rows = [(
+        "starxml://6000000", None, None,
+        "DFK 6000000\nREL |a Smith, J. |t A wonderful study of things |j 2020 |b Comment",
+        None,
+    )]
+    pages = spark.createDataFrame(rows, schema=pages_schema())
+    auth = spark.createDataFrame(
+        [("10.1000/xyz123", "A wonderful study of things", "Smith")],
+        "doi string, title string, authors string",
+    )
+    with_auth = {
+        (r.pred, r.obj)
+        for r in build_triples(pages, authorities={"crossref": auth}).collect()
+    }
+    assert (
+        "http://id.loc.gov/ontologies/bibframe/identifiedBy",
+        "https://doi.org/10.1000/xyz123",
+    ) in with_auth
+    assert not any(p.endswith("preferredCitation") for p, _ in with_auth)
+
+    without = {
+        (r.pred, r.obj) for r in build_triples(pages).collect()
+    }
+    assert (
+        "http://id.loc.gov/ontologies/bibframe/preferredCitation",
+        "Smith, J.: A wonderful study of things; 2020",
+    ) in without
+
+
+def test_testg_dsm_guard(spark):
+    """J15 guard: a >=70 name match is rejected when DSM versions differ
+    (research_info.py:1366-1369) — the entry stays uncontrolled."""
+    from psyndex2linkeddata_spark.plans.pipeline import build_triples
+    from psyndex2linkeddata_spark.schema import pages_schema
+
+    rows = [(
+        "starxml://6000001", None, None,
+        "DFK 6000001\nTESTG SKID |l Strukturiertes Klinisches Interview für DSM-IV |n 1111",
+        None,
+    )]
+    pages = spark.createDataFrame(rows, schema=pages_schema())
+    decoy = spark.createDataFrame(
+        [("9999", "Strukturiertes Klinisches Interview für DSM-III")],
+        "test_id string, long_name string",
+    )
+    got = {
+        (r.pred, r.obj)
+        for r in build_triples(pages, authorities={"tests": decoy}).collect()
+    }
+    # guard fired: no PsytkomTestId, test typed Uncontrolled
+    assert not any(o == "9999" for _, o in got)
+    assert (
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://id.loc.gov/ontologies/bflc/Uncontrolled",
+    ) in got
+    # same name without the version conflict resolves
+    ok_auth = spark.createDataFrame(
+        [("4242", "Strukturiertes Klinisches Interview für DSM-IV")],
+        "test_id string, long_name string",
+    )
+    got2 = {
+        (r.pred, r.obj)
+        for r in build_triples(pages, authorities={"tests": ok_auth}).collect()
+    }
+    assert ("http://www.w3.org/1999/02/22-rdf-syntax-ns#value", "4242") in got2
