@@ -62,9 +62,12 @@ def completed_buckets(spark: SparkSession, ckpt_dir: str, stage: str) -> set[int
 
 
 def _append_lineage(spark, ckpt_dir: str, rows: list[dict]) -> None:
-    spark.createDataFrame(rows, schema=CKPT_SCHEMA).write.mode("append").parquet(
-        os.path.join(ckpt_dir, "lineage")
-    )
+    # coalesce(1): the whole batch's lineage lands as ONE file (written
+    # via temp + rename) — a crash can lose the entire commit but never
+    # persist half of it, so resume sees a batch as all-done or all-pending
+    spark.createDataFrame(rows, schema=CKPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(ckpt_dir, "lineage"))
 
 
 def run_checkpointed(
@@ -80,10 +83,13 @@ def run_checkpointed(
 ) -> dict:
     """Resumable pages→triples run. `process` is pages-DF → triples-DF.
 
-    Output lands under out_dir/bucket=<b>/ (partition pruning on re-read);
-    a batch's lineage rows commit only after its output write succeeds —
-    kill the process anywhere and the next invocation redoes exactly the
-    uncommitted buckets.
+    Each bucket's output lands under out_dir/bucket=<b>/ — a
+    DETERMINISTIC location written with overwrite, so re-running a bucket
+    after a crash replaces its rows instead of duplicating them (and
+    re-reads prune on the bucket= partition). A batch's lineage rows
+    commit only after every bucket of the batch is written, as one atomic
+    single-file append — kill the process anywhere and the next
+    invocation redoes exactly the buckets whose lineage never landed.
     """
     import datetime as dt
 
@@ -95,35 +101,30 @@ def run_checkpointed(
     for i in range(0, len(pending), buckets_per_commit):
         batch = pending[i : i + buckets_per_commit]
         t0 = time.time()
-        part = bucketed.where(F.col("_bucket").isin(batch))
-        n_pages_by_bucket = {
-            r["_bucket"]: r["cnt"]
-            for r in part.groupBy("_bucket").agg(F.count("*").alias("cnt")).collect()
-        }
-        triples = process(part.drop("_bucket"))
-        out_path = os.path.join(out_dir, f"batch={batch[0]:05d}")
-        triples.write.mode("overwrite").parquet(out_path)
-        n_triples = spark.read.parquet(out_path).count()
-        wall = time.time() - t0
+        rows = []
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-        # lineage commits AFTER the output write — the crash-recovery line
-        _append_lineage(
-            spark,
-            ckpt_dir,
-            [
+        for b in batch:
+            part = bucketed.where(F.col("_bucket") == b)
+            n_pages = part.count()
+            triples = process(part.drop("_bucket"))
+            out_path = os.path.join(out_dir, f"bucket={b:05d}")
+            triples.write.mode("overwrite").parquet(out_path)
+            n_triples = spark.read.parquet(out_path).count()
+            rows.append(
                 dict(
                     stage=stage,
                     run_id=run_id,
                     bucket=b,
-                    row_count=int(n_pages_by_bucket.get(b, 0)),
+                    row_count=int(n_pages),
                     n_triples=int(n_triples),
-                    wall_s=float(wall),
+                    wall_s=float(time.time() - t0),
                     status="done",
                     ts=now,
                 )
-                for b in batch
-            ],
-        )
+            )
+        # lineage commits AFTER the whole batch's output writes — the
+        # crash-recovery line
+        _append_lineage(spark, ckpt_dir, rows)
         batches_run += 1
     return {
         "run_id": run_id,

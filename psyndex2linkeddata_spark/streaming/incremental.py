@@ -8,8 +8,12 @@ pages arrive (or after a crash) picks up precisely where it stopped.
 
 foreachBatch is the right shape here: the emit stage is stateless per
 page (one record per page → triple dedup is record-local except for
-shared vocabulary nodes, which are idempotent re-emits), so a per-batch
-`build_triples` is exactly-once per page without global streaming state.
+shared vocabulary nodes, which are idempotent re-emits). foreachBatch
+itself is at-least-once, so the sink is made IDEMPOTENT per batch_id:
+output lands in batch_id=<id> directories written with overwrite — a
+crash/retry between the parquet write and the streaming checkpoint
+commit re-runs the batch into the same directory instead of appending
+duplicates. at-least-once + idempotent writes = effective exactly-once.
 
 `sessionize_events_stream` shows the stateful side: event-time session
 windows with a watermark (late data tolerated up to the watermark bound).
@@ -45,14 +49,18 @@ def stream_triples(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         triples = build_triples(batch_df)
-        triples.write.mode("append").parquet(os.path.join(out_dir, "triples"))
+        # idempotent per batch_id: a retried batch overwrites its own
+        # directory rather than appending a duplicate copy
+        triples.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "triples", f"batch_id={int(batch_id)}")
+        )
         n_pages = batch_df.count()
         spark_ = batch_df.sparkSession
         spark_.createDataFrame(
             [(int(batch_id), int(n_pages))], "batch_id long, n_pages long"
-        ).withColumn("ts", F.current_timestamp()).write.mode("append").parquet(
-            metrics_path
-        )
+        ).withColumn("ts", F.current_timestamp()).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(metrics_path, f"batch_id={int(batch_id)}"))
 
     q = (
         pages.writeStream.foreachBatch(process_batch)

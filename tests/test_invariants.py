@@ -148,3 +148,30 @@ def test_jsonld_grouping(spark, tri):
         obj = json.loads(r.json)
         assert obj["@id"] == r.subj
         assert isinstance(obj["props"], dict) and obj["props"]
+
+
+def test_turtle_roundtrip(spark, tri, tmp_path):
+    """S7: parse(serialize(triples)) == triple set — every part file is a
+    self-contained prefix-compressed Turtle document readable by
+    sources/turtle.parse_turtle (the same parser that reads the
+    reference's goldens)."""
+    from psyndex2linkeddata_spark.sources.export import write_turtle
+    from psyndex2linkeddata_spark.sources.turtle import parse_turtle
+    import os
+
+    subset = tri.limit(800).repartition(3)
+    want = {
+        (r.subj, r.pred, r.obj, r.obj_is_iri, r.lang, r.dtype)
+        for r in subset.collect()
+    }
+    out = str(tmp_path / "ttl")
+    write_turtle(subset, out)
+    got = set()
+    for fn in os.listdir(out):
+        if fn.startswith("part-"):
+            with open(os.path.join(out, fn), encoding="utf-8") as f:
+                got.update(tuple(t) for t in parse_turtle(f.read()))
+    assert got == want, (
+        f"missing={len(want - got)} extra={len(got - want)}; "
+        f"examples missing={sorted(want - got)[:3]} extra={sorted(got - want)[:3]}"
+    )

@@ -41,7 +41,7 @@ def test_checkpointed_run_and_resume(spark, small_pages, tmp_path_factory):
     assert sum(r.row_count for r in rows) == N_PAGES  # every page accounted
     # all triples of a full unbucketed run are present; shared vocabulary
     # nodes re-emitted per batch collapse under the global read-side dedup
-    got = spark.read.parquet(out).drop("batch").distinct().count()
+    got = spark.read.parquet(out).drop("bucket").distinct().count()
     expect = build_triples(small_pages).count()
     assert got == expect
     # resume: nothing left to do
@@ -63,7 +63,10 @@ def test_crash_mid_run_resumes_exactly(spark, small_pages, tmp_path_factory):
 
     def flaky(pages):
         calls["n"] += 1
-        if calls["n"] == 2:  # die during the second batch
+        # process runs once per BUCKET; with buckets_per_commit=2 the
+        # third call is the first bucket of the second batch → batch 1
+        # fully committed, batch 2 never reaches its lineage commit
+        if calls["n"] == 3:
             raise RuntimeError("simulated executor loss")
         return build_triples(pages)
 
@@ -80,7 +83,7 @@ def test_crash_mid_run_resumes_exactly(spark, small_pages, tmp_path_factory):
     )
     assert res["resumed_buckets"] == 2
     assert res["processed_buckets"] == 2
-    got = spark.read.parquet(out).drop("batch").distinct().count()
+    got = spark.read.parquet(out).drop("bucket").distinct().count()
     expect = build_triples(small_pages).count()
     assert got == expect
 
