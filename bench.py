@@ -102,11 +102,20 @@ def main() -> None:
     # throughput. The lazy barrier means nothing computes at construction,
     # so the timed noop write covers the whole distributed job.
     _noop_write(build_triples(pages.limit(32)))
-    triples = build_triples(pages)
-    t0 = time.time()
-    _noop_write(triples)
-    pipeline_s = time.time() - t0
-    n_triples = triples.count()  # barrier is materialized; cheap second pass
+    # SPARK_GRAFT_REPS>1: repeat the timed run in-process and take the
+    # minimum — the sandbox host's CPU quota varies between runs, and the
+    # scaling-efficiency evidence needs the machine's true capability at
+    # each level, not the noise floor
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "1"))
+    pipeline_s = float("inf")
+    n_triples = 0
+    for _ in range(max(reps, 1)):
+        triples = build_triples(pages)
+        t0 = time.time()
+        _noop_write(triples)
+        pipeline_s = min(pipeline_s, time.time() - t0)
+        n_triples = triples.count()  # barrier materialized; cheap pass
+        spark.catalog.clearCache()  # release the pipeline's barrier cache
     results["kg_pipeline"] = round(pipeline_s, 3)
 
     out = {

@@ -98,11 +98,16 @@ def finalize(triples: DataFrame) -> DataFrame:
     # Plan barrier: clean_genres and the enrich joins reference the triple
     # set many times; without a barrier each reference re-analyzes and
     # re-executes the whole emit tree (measured: 190s construction, 8×
-    # recompute). The lazy local checkpoint truncates the logical plan to
-    # an RDD scan and materializes once on first use. At cluster scale the
-    # equivalent is landing the raw triples in the warehouse (Iceberg)
-    # before the linking stage — same barrier, plus durability.
-    return clean_genres(deduped.localCheckpoint(eager=False))
+    # recompute). Lazy columnar persist (MEMORY_AND_DISK) materializes
+    # once on first use into compressed columnar batches — a few GB at
+    # 300k pages / ~63M triples — where localCheckpoint's row-block
+    # storage thrashed the heap at that scale (measured: 22× wall-time
+    # blowup at 5× data). At cluster scale the equivalent is landing the
+    # raw triples in the warehouse (Iceberg) before the linking stage —
+    # same barrier, plus durability.
+    from pyspark import StorageLevel
+
+    return clean_genres(deduped.persist(StorageLevel.MEMORY_AND_DISK))
 
 
 def build_triples(
