@@ -100,10 +100,10 @@ def run_checkpointed(
     batches_run = 0
     for i in range(0, len(pending), buckets_per_commit):
         batch = pending[i : i + buckets_per_commit]
-        t0 = time.time()
         rows = []
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         for b in batch:
+            t0 = time.time()  # per-bucket wall time, not cumulative batch
             part = bucketed.where(F.col("_bucket") == b)
             n_pages = part.count()
             triples = process(part.drop("_bucket"))

@@ -189,8 +189,11 @@ class TurtleDoc:
         if c.isdigit() or c in "+-":
             import re
 
+            # a decimal requires a digit AFTER the point — '5.' is the
+            # integer 5 followed by the statement terminator
             m = re.match(
-                r"[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.?\d+(?:[eE][+-]?\d+)?)",
+                r"[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?"
+                r"|\d+[eE][+-]?\d+|\d+)",
                 sc.s[sc.i :],
             )
             tok = m.group(0)
@@ -273,8 +276,13 @@ class TurtleDoc:
                     sc.i += 1
                 continue
             subj = self._read_subject()
-            self._read_predicate_object_list(subj)
             sc.skip_ws()
+            # '[ p o ] .' — a bnode subject whose whole statement was the
+            # property list inside the brackets (rdflib emits this for
+            # bnode subjects with no incoming references)
+            if not (subj.startswith("_:") and sc.peek() == "."):
+                self._read_predicate_object_list(subj)
+                sc.skip_ws()
             sc.expect(".")
 
 

@@ -56,8 +56,11 @@ def stream_triples(
         )
         n_pages = batch_df.count()
         spark_ = batch_df.sparkSession
+        # the batch_id=<id> partition directory encodes the id; keeping it
+        # out of the data schema avoids the COLUMN_ALREADY_EXISTS conflict
+        # on read (partition discovery restores the column)
         spark_.createDataFrame(
-            [(int(batch_id), int(n_pages))], "batch_id long, n_pages long"
+            [(int(n_pages),)], "n_pages long"
         ).withColumn("ts", F.current_timestamp()).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(metrics_path, f"batch_id={int(batch_id)}"))

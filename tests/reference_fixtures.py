@@ -100,7 +100,7 @@ def load_testg_strings() -> list[str]:
     raise AssertionError("testgs list not found")
 
 
-def testg_auth_tests() -> list[tuple[str, str]]:
+def build_testg_auth_rows() -> list[tuple[str, str]]:
     """(test_id, long_name) rows reproducing the reference's
     all_tests.json lookups: for every golden work whose PsytkomTestId
     could only have come from the fuzzy longName lookup (the input TESTG

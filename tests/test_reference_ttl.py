@@ -27,7 +27,7 @@ from tests.reference_fixtures import (
     load_rplic_strings,
     load_testg_strings,
     rplic_crossref_authority,
-    testg_auth_tests,
+    build_testg_auth_rows,
 )
 
 OUR_WORKS = "https://w3id.org/zpid/resources/works/"
@@ -101,7 +101,7 @@ def test_testg_matches_reference_ttl(spark):
         rows.append((f"starxml://{dfk}", None, None, f"DFK {dfk}\nTESTG {s}", None))
     pages = spark.createDataFrame(rows, schema=pages_schema())
     auth = spark.createDataFrame(
-        testg_auth_tests(), "test_id string, long_name string"
+        build_testg_auth_rows(), "test_id string, long_name string"
     )
     triples = build_triples(pages, authorities={"tests": auth})
 
