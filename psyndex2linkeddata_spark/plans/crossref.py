@@ -81,16 +81,19 @@ def _citation_search(
     )
 
 
-def resolve_rplic_dois(
+def rplic_resolution_map(
     records: DataFrame,
     auth_crossref: DataFrame,
     threshold: float = 30.0,
     search_threshold: float | None = None,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """Rewrite `rplic_parsed[*].ids.dois` through the offline Crossref
-    tiers: invalid candidate DOIs are dropped, citation-only entries gain
-    the searched DOI. Records without RPLIC fields pass through.
+    """J13/J14 kernel -> (url, _rplic_res: map<idx, array<doi>>).
+
+    The map's value REPLACES `rplic_parsed[idx].ids.dois` (empty array =
+    all candidate DOIs invalid). Consumed either by resolve_rplic_dois
+    (Column path, transform-rewrite) or joined straight onto records for
+    the Arrow emitter (emit/arrow.py record_triples `_rplic_res`).
 
     `threshold` is the reference's fuzz threshold (30 for RPLIC).
     `search_threshold` (default = threshold) applies to tier S only: the
@@ -152,7 +155,7 @@ def resolve_rplic_dois(
     searched = need.join(best, "_ckey", "left").select("url", "_idx", "_sdoi")
 
     # ---- resolution map per record ------------------------------------
-    res = (
+    return (
         base.join(searched, ["url", "_idx"], "left")
         .select(
             "url",
@@ -171,6 +174,19 @@ def resolve_rplic_dois(
         )
     )
 
+
+def resolve_rplic_dois(
+    records: DataFrame,
+    auth_crossref: DataFrame,
+    threshold: float = 30.0,
+    search_threshold: float | None = None,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Column-path wrapper: rewrite `rplic_parsed[*].ids.dois` in place
+    through the rplic_resolution_map. Records without RPLIC pass through."""
+    res = rplic_resolution_map(
+        records, auth_crossref, threshold, search_threshold, num_hashes
+    )
     out = records.join(res, "url", "left")
     new_parsed = F.transform(
         F.col("rplic_parsed"),
@@ -190,19 +206,19 @@ def resolve_rplic_dois(
     return out.withColumn("rplic_parsed", new_parsed).drop("_rplic_res")
 
 
-def resolve_rel_dois(
+def rel_resolution_map(
     records: DataFrame,
     auth_crossref: DataFrame,
     threshold: float = 60.0,
     search_threshold: float | None = None,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """J14 for REL fields: fill `rel_parsed[*].crossref_doi` by searching
-    the offline Crossref authority with the composed |a/|t/|j/|q citation
-    (research_info.py:1268-1276; similarity_threshold=60 — 'low … to get
-    most of the RELs'). Only entries whose whole string classified as
-    'unknown' (no inline DOI/URL) and that don't lead with a DFK are
-    searched; REL has no validation tier (inline DOIs are trusted)."""
+    """J14 for REL fields -> (url, _rel_res: map<idx, doi>): searched DOI
+    for the composed |a/|t/|j/|q citation (research_info.py:1268-1276;
+    similarity_threshold=60 — 'low … to get most of the RELs'). Only
+    entries whose whole string classified as 'unknown' (no inline
+    DOI/URL) and that don't lead with a DFK are searched; REL has no
+    validation tier (inline DOIs are trusted)."""
     if search_threshold is None:
         search_threshold = threshold
     auth = auth_crossref.select(
@@ -224,7 +240,7 @@ def resolve_rel_dois(
     best = _citation_search(
         ex.select("_ckey").distinct(), auth, search_threshold, num_hashes
     )
-    res = (
+    return (
         ex.join(best, "_ckey", "left")
         .where(F.col("_sdoi").isNotNull())
         .groupBy("url")
@@ -233,6 +249,19 @@ def resolve_rel_dois(
                 F.collect_list(F.struct(F.col("_idx"), F.col("_sdoi")))
             ).alias("_rel_res")
         )
+    )
+
+
+def resolve_rel_dois(
+    records: DataFrame,
+    auth_crossref: DataFrame,
+    threshold: float = 60.0,
+    search_threshold: float | None = None,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Column-path wrapper: fill `rel_parsed[*].crossref_doi` in place."""
+    res = rel_resolution_map(
+        records, auth_crossref, threshold, search_threshold, num_hashes
     )
     out = records.join(res, "url", "left")
     new_parsed = F.transform(
@@ -263,13 +292,14 @@ def _dsm_icd_mismatch(a, b):
     )
 
 
-def resolve_testg_ids(
+def testg_resolution_map(
     records: DataFrame,
     auth_tests: DataFrame,
     threshold: float = 70.0,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """J15: fill `testg_parsed[*].test_id` for uncontrolled entries by
+    """J15 -> (url, _testg_res: map<idx, test_id>): fill
+    `testg_parsed[*].test_id` for uncontrolled entries by
     fuzzy longName lookup against the offline test database
     (auth_tests(test_id, long_name) — the all_tests.json dump the
     reference loads in research_info.py:1355-1373).
@@ -317,7 +347,7 @@ def resolve_testg_ids(
         .where(F.col("_rn") == 1)
         .select("_lname", F.col("_tid").alias("_found"))
     )
-    res = (
+    return (
         ex.join(best, "_lname", "left")
         .where(F.col("_found").isNotNull())
         .groupBy("url")
@@ -328,6 +358,15 @@ def resolve_testg_ids(
         )
     )
 
+
+def resolve_testg_ids(
+    records: DataFrame,
+    auth_tests: DataFrame,
+    threshold: float = 70.0,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Column-path wrapper: fill `testg_parsed[*].test_id` in place."""
+    res = testg_resolution_map(records, auth_tests, threshold, num_hashes)
     out = records.join(res, "url", "left")
     new_parsed = F.transform(
         F.col("testg_parsed"),

@@ -83,42 +83,50 @@ def emit_triples(norm_records: DataFrame) -> DataFrame:
     return explode_triples(norm_records, arr)
 
 
-def finalize(triples: DataFrame) -> DataFrame:
+def finalize(
+    triples: DataFrame, *, barrier: bool = True, genre_cleanup: bool = True
+) -> DataFrame:
     """A10 (rdflib.Graph set semantics — implicit in every graph.add):
-    exact-duplicate triples collapse, plus the authority-free part of the
-    A2 genre cleanup (thesis beats ScholarlyPaper/ScholarlyWork —
-    clean_up_genres runs unconditionally in the reference,
-    convert_starxml_to_bf.py:1455-1458). The one global shuffle of the
-    pipeline; AQE-coalesced."""
-    from psyndex2linkeddata_spark.operators.upsert import clean_genres
+    exact-duplicate triples collapse, plus (Column path) the
+    authority-free part of the A2 genre cleanup (thesis beats
+    ScholarlyPaper/ScholarlyWork — clean_up_genres runs unconditionally
+    in the reference, convert_starxml_to_bf.py:1455-1458). The one
+    global shuffle of the pipeline; AQE-coalesced.
 
+    `genre_cleanup=False` for the Arrow path: emit/arrow.py applies the
+    A2 rule in-record, so the post-emit anti-join is a no-op there.
+    `barrier=False` when nothing downstream references the triple set
+    more than once (the plain no-authority pipeline) — then the pipeline
+    is a single narrow stage + one dedup exchange, no cache.
+    """
     deduped = triples.dropDuplicates(
         ["subj", "pred", "obj", "obj_is_iri", "lang", "dtype"]
     )
-    # Plan barrier: clean_genres and the enrich joins reference the triple
-    # set many times; without a barrier each reference re-analyzes and
-    # re-executes the whole emit tree (measured: 190s construction, 8×
-    # recompute). Lazy columnar persist (MEMORY_AND_DISK) materializes
-    # once on first use into compressed columnar batches — a few GB at
-    # 300k pages / ~63M triples — where localCheckpoint's row-block
-    # storage thrashed the heap at that scale (measured: 22× wall-time
-    # blowup at 5× data). At cluster scale the equivalent is landing the
-    # raw triples in the warehouse (Iceberg) before the linking stage —
-    # same barrier, plus durability.
-    from pyspark import StorageLevel
+    if barrier:
+        # Plan barrier: clean_genres and the enrich joins reference the
+        # triple set many times; without a barrier each reference
+        # re-analyzes and re-executes the whole emit plan. Lazy columnar
+        # persist (MEMORY_AND_DISK) materializes once on first use into
+        # compressed columnar batches — a few GB at 300k pages / ~63M
+        # triples — where localCheckpoint's row-block storage thrashed
+        # the heap at that scale (measured: 22× wall-time blowup at 5×
+        # data). At cluster scale the equivalent is landing the raw
+        # triples in the warehouse (Iceberg) before the linking stage —
+        # same barrier, plus durability.
+        from pyspark import StorageLevel
 
-    return clean_genres(deduped.persist(StorageLevel.MEMORY_AND_DISK))
+        deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
+    if genre_cleanup:
+        from psyndex2linkeddata_spark.operators.upsert import clean_genres
+
+        deduped = clean_genres(deduped)
+    return deduped
 
 
-def build_triples(
-    pages: DataFrame, authorities: dict[str, DataFrame] | None = None
+def _build_triples_columns(
+    pages: DataFrame, authorities: dict[str, DataFrame] | None
 ) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) → deduplicated triples DF.
-
-    With `authorities` (see datagen/authorities.py for the table shapes):
-    the bad_ids kill-list filters records (S3), and the linking stage
-    (plans/enrich.py — J1/J3/J5/J6 + A2 ancestor cleanup) runs after emit.
-    """
+    """Declarative path: the full emit as native column expressions."""
     from psyndex2linkeddata_spark.extract.parser import filter_bad_ids
 
     records = extract_records(pages)
@@ -147,7 +155,86 @@ def build_triples(
         from psyndex2linkeddata_spark.plans.crossref import resolve_testg_ids
 
         norm = resolve_testg_ids(norm, authorities["tests"])
-    triples = finalize(emit_triples(norm))
+    return finalize(emit_triples(norm))
+
+
+def _build_triples_arrow(
+    pages: DataFrame, authorities: dict[str, DataFrame] | None
+) -> DataFrame:
+    """Arrow path: one narrow mapInPandas stage (emit/arrow.py) does
+    parse+emit; the offline-linking joins (J13-J15) still run as
+    DataFrame joins over the Column-parsed mention columns, reduced to
+    compact per-record resolution maps the Python emitter applies."""
+    from psyndex2linkeddata_spark.emit.arrow import emit_triples_arrow
+    from psyndex2linkeddata_spark.extract.parser import filter_bad_ids
+
+    auth = authorities or {}
+    need_maps = "crossref" in auth or "tests" in auth
+    if need_maps or "bad_ids" in auth:
+        records = extract_records(pages)
+        if "bad_ids" in auth:
+            records = filter_bad_ids(records, auth["bad_ids"])
+        if need_maps:
+            from psyndex2linkeddata_spark.plans import crossref as cr
+
+            norm = normalize(records)
+            if "crossref" in auth:
+                records = records.join(
+                    cr.rplic_resolution_map(
+                        norm,
+                        auth["crossref"],
+                        search_threshold=auth.get("crossref_search_threshold"),
+                    ),
+                    "url",
+                    "left",
+                ).join(
+                    cr.rel_resolution_map(
+                        norm,
+                        auth["crossref"],
+                        search_threshold=auth.get("crossref_rel_search_threshold"),
+                    ),
+                    "url",
+                    "left",
+                )
+            if "tests" in auth:
+                records = records.join(
+                    cr.testg_resolution_map(norm, auth["tests"]), "url", "left"
+                )
+        # barrier: enrich_triples references the set many times
+        return finalize(
+            emit_triples_arrow(records), barrier=True, genre_cleanup=False
+        )
+    return finalize(
+        emit_triples_arrow(pages),
+        barrier=bool(authorities),
+        genre_cleanup=False,
+    )
+
+
+def build_triples(
+    pages: DataFrame,
+    authorities: dict[str, DataFrame] | None = None,
+    emit_mode: str | None = None,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → deduplicated triples DF.
+
+    With `authorities` (see datagen/authorities.py for the table shapes):
+    the bad_ids kill-list filters records (S3), and the linking stage
+    (plans/enrich.py — J1/J3/J5/J6 + A2 ancestor cleanup) runs after emit.
+
+    `emit_mode` ('arrow' default, or 'columns', env SPARK_GRAFT_EMIT):
+    both paths emit byte-identical triple sets (tests/test_arrow_parity);
+    'arrow' is the hot path — one Arrow-batched mapInPandas stage,
+    measured ~60× less CPU per page than the interpreted HOF column tree
+    and a KB-scale plan instead of MB-scale (see emit/arrow.py docstring).
+    """
+    import os
+
+    mode = emit_mode or os.environ.get("SPARK_GRAFT_EMIT", "arrow")
+    if mode == "columns":
+        triples = _build_triples_columns(pages, authorities)
+    else:
+        triples = _build_triples_arrow(pages, authorities)
     if authorities:
         from psyndex2linkeddata_spark.plans.enrich import enrich_triples
 
