@@ -120,14 +120,27 @@ def make_record(i: int, seed: int = 42) -> dict:
     rec["AUP"] = aup_fields
     if be in ("SS", "SM") and rng.random() < 0.3:
         rec["AUK"] = [f"Deutsche Gesellschaft für Psychologie |c GERMANY"]
-    # ORCIDs for a subset of authors (name repeated, |u subfield); some dirty urls
+    # ORCIDs for a subset of authors (name repeated, |u subfield); some dirty urls.
+    # Entry names vary from the AUP spelling (abbreviated given, ascii umlauts,
+    # appended double-family) — exercises the J9/J10 partial_ratio tier.
+    def _entry_name(fam: str, giv: str) -> str:
+        r = rng.random()
+        if r < 0.25:
+            giv = giv[0] + "."
+        elif r < 0.35:
+            for u, rep in (("ä", "ae"), ("ö", "oe"), ("ü", "ue"), ("ß", "ss")):
+                fam = fam.replace(u, rep)
+        elif r < 0.40:
+            fam = fam + "-Berg"
+        return f"{fam}, {giv}"
+
     orcids = []
     for fam, giv in aups:
         if rng.random() < 0.4:
             oid = _orcid(rng)
             if rng.random() < 0.3:
                 oid = "https://orcid.org/" + oid
-            orcids.append(f"{fam}, {giv} |u {oid}")
+            orcids.append(f"{_entry_name(fam, giv)} |u {oid}")
     if orcids:
         rec["ORCID"] = orcids
     # PsychAuthors ids for some authors
@@ -135,7 +148,7 @@ def make_record(i: int, seed: int = 42) -> dict:
     for fam, giv in aups:
         if rng.random() < 0.25:
             pid = f"p{(_stable_hash(fam + '|' + giv) % 90000) + 10000:05d}"
-            paups.append(f"{fam}, {giv} |n {pid}")
+            paups.append(f"{_entry_name(fam, giv)} |n {pid}")
     if paups:
         rec["PAUP"] = paups
     if rng.random() < 0.5:

@@ -538,15 +538,22 @@ def contributions_of(rec):
             return "last"
         return "middle"
 
-    def match_sub(arr, person_name, sub):
-        pn = norm_name(person_name)
-        if pn is None:
-            return None
-        for e in arr or []:
-            mn = norm_name(mainfield(e))
-            if mn is not None and mn == pn:
-                return subfield(e, sub)
-        return None
+    # J9/J10 fuzzy tier (reference direction: per id field -> first
+    # partial_ratio>80 person contribution; later fields overwrite)
+    from psyndex2linkeddata_spark.functions.fuzzy_names import match_ids_to_positions
+
+    person_names = []
+    for i, s in enumerate(aup):
+        nm = mainfield(s)
+        person_names.append((i + 1, family_name(nm), given_name(nm)))
+    orcid_by_pos = match_ids_to_positions(
+        [(mainfield(e), subfield(e, "u")) for e in rec.get("ORCID") or []],
+        person_names,
+    )
+    paup_by_pos = match_ids_to_positions(
+        [(mainfield(e), subfield(e, "n")) for e in rec.get("PAUP") or []],
+        person_names,
+    )
 
     emid_main = mainfield(rec.get("EMID"))
     out = []
@@ -593,8 +600,8 @@ def contributions_of(rec):
                 qualifier=qualifier(pos),
                 org=org,
                 country=country,
-                orcid=clean_orcid(match_sub(rec.get("ORCID"), name, "u")),
-                paup_id=match_sub(rec.get("PAUP"), name, "n"),
+                orcid=clean_orcid(orcid_by_pos.get(pos)),
+                paup_id=paup_by_pos.get(pos),
                 email=email,
             )
         )

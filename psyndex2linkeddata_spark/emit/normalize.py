@@ -3,11 +3,10 @@
 Parses the repeated subfield-encoded strings into typed struct arrays once,
 so every emitter downstream is a pure projection. All record-local matching
 (ORCID↔AUP, PAUP↔AUP, EMID↔AUP — J9-J11 in SURVEY §2.4,
-/root/reference/modules/contributions.py:408-645) happens here as array
-expressions: the reference loops over the graph per record; we never leave
-codegen. The fuzzy tier of those matchers lives in operators/linking.py;
-here the exact tier (casefolded name equality) resolves the overwhelming
-majority, matching the reference's short-circuit-on-exact behavior.
+/root/reference/modules/contributions.py:408-645) happens here. The
+EMID match is the reference's exact comparison; the ORCID/PAUP matchers
+use the reference's fuzz.partial_ratio>80 tier via the shared kernel in
+functions/fuzzy_names.py (Arrow pandas UDF — see contrib_id_cols).
 """
 
 from __future__ import annotations
@@ -29,16 +28,57 @@ def _norm_name(c: Column) -> Column:
     return F.lower(F.trim(c))
 
 
-def _match_subfield(arr_field: Column, person_name: Column, sub: str) -> Column:
-    """First |{sub} subfield among entries of `arr_field` whose mainfield
-    equals `person_name` (casefolded). Record-local exact tier of J9-J11."""
-    matches = F.filter(
-        F.coalesce(arr_field, F.array()),
-        lambda s: _norm_name(mainfield(s)) == _norm_name(person_name),
-    )
-    return F.when(
-        F.size(matches) > 0, subfield(F.element_at(matches, 1), sub)
-    )
+def contrib_id_cols() -> dict[str, Column]:
+    """J9/J10 pre-materialized match columns: `_aup_orcids` /
+    `_aup_paups` are arrays aligned with AUP positions carrying the
+    matched ORCID |u / PAUP |n id (NULL = no match). The reference's
+    matcher is fuzz.partial_ratio > 80 over F9-normalized names
+    (contributions.py:408-576) — genuinely procedural, so the shared
+    kernel (functions/fuzzy_names.py, same one the Arrow emitter calls)
+    runs in an Arrow pandas UDF here; like `_testg_longs`, the columns
+    are materialized in their own projection because pandas UDFs can't
+    sit inside higher-order-function lambdas."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def make(sub: str):
+        # no type annotations: pandas_udf's hint inference can't resolve
+        # the function-local `pd` import; the returnType string suffices
+        def fn(df):
+            from psyndex2linkeddata_spark.emit import arrow as A
+            from psyndex2linkeddata_spark.functions.fuzzy_names import (
+                match_ids_to_positions,
+            )
+
+            out = []
+            for aup, ids in zip(df["aup"], df["ids"]):
+                aup_l = list(aup) if aup is not None else []
+                ids_l = list(ids) if ids is not None else []
+                persons = []
+                for i, s in enumerate(aup_l):
+                    nm = A.mainfield(s)
+                    persons.append((i + 1, A.family_name(nm), A.given_name(nm)))
+                m = match_ids_to_positions(
+                    [(A.mainfield(e), A.subfield(e, sub)) for e in ids_l],
+                    persons,
+                )
+                out.append([m.get(i + 1) for i in range(len(aup_l))])
+            return pd.Series(out)
+
+        return pandas_udf(fn, "array<string>")
+
+    def pair(ids_field: str, sub: str) -> Column:
+        return make(sub)(
+            F.struct(
+                F.coalesce(F.col("AUP"), F.array()).alias("aup"),
+                F.coalesce(F.col(ids_field), F.array()).alias("ids"),
+            )
+        )
+
+    return {
+        "_aup_orcids": pair("ORCID", "u"),
+        "_aup_paups": pair("PAUP", "n"),
+    }
 
 
 def contributions_col(df: DataFrame) -> Column:
@@ -114,8 +154,8 @@ def contributions_col(df: DataFrame) -> Column:
                 own_country,
                 F.when(cs_applies, cleaned(nullif_empty(F.col("COU")))),
             ).alias("country"),
-            clean_orcid(_match_subfield(F.col("ORCID"), name, "u")).alias("orcid"),
-            _match_subfield(F.col("PAUP"), name, "n").alias("paup_id"),
+            clean_orcid(F.try_element_at(F.col("_aup_orcids"), pos)).alias("orcid"),
+            F.try_element_at(F.col("_aup_paups"), pos).alias("paup_id"),
             F.coalesce(email_by_name, email_fallback).alias("email"),
         )
 
@@ -410,6 +450,7 @@ def normalize(records: DataFrame) -> DataFrame:
             "work": work_uri(F.col("DFK")),
             "bundle": bundle_uri(F.col("DFK")),
             **testg_longs_cols(),
+            **contrib_id_cols(),
             "contribs": contributions_col(records),
             "instances": instances_col(records),
             **relation_mentions(),

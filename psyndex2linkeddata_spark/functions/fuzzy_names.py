@@ -1,0 +1,117 @@
+"""J9/J10 — fuzzy PAUP/ORCID ↔ contribution matching kernel.
+
+Reference: /root/reference/modules/contributions.py
+match_paups_to_contribution_nodes (:408-498) and
+match_orcids_to_contribution_nodes (:500-576): for EACH id field (PAUP /
+ORCID), scan the work's person contributions in order and attach the id
+to the FIRST agent whose normalized name scores
+`fuzz.partial_ratio > 80`; a later field matching the same agent
+overwrites (graph.set on the id node's rdf:value).
+
+`partial_ratio` reimplements fuzzywuzzy's algorithm on difflib (the
+pure-python backend fuzzywuzzy itself uses): best SequenceMatcher ratio
+of the shorter string against same-length substrings of the longer,
+aligned at each matching block.
+
+normalize_person_name is F9 (contributions.py:764-784): umlauts/ß →
+ascii on the family name, given name abbreviated to an initial.
+
+Deviation (documented): the reference's PAUP branch crashes on a name
+without a comma (`paup_split[1]` IndexError); we apply the ORCID
+branch's fallback (use the raw name) instead of failing the record.
+The kerndaten alternate-name tier (:460-498, an external TTL) is an
+authority-backed second tier — out of record-local scope here.
+
+Used by BOTH emit paths: emit/arrow.py calls it per record; the Column
+path wraps it in an Arrow pandas UDF (emit/normalize.contrib_id_cols)
+because partial_ratio is genuinely procedural. The golden oracle
+carries its own independent implementation (tests/golden_oracle.py).
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+_UMLAUTS = [
+    ("ä", "ae"), ("ö", "oe"), ("ü", "ue"),
+    ("Ä", "Ae"), ("Ö", "Oe"), ("Ü", "Ue"), ("ß", "ss"),
+]
+
+
+def ascii_umlauts(s: str) -> str:
+    for raw, rep in _UMLAUTS:
+        s = s.replace(raw, rep)
+    return s
+
+
+def normalize_person_name(family: str | None, given: str | None) -> str | None:
+    """F9 twin: ('Müller', 'Thomas') -> 'Mueller, T.'."""
+    if family is None:
+        return None
+    fam = ascii_umlauts(family)
+    if given:
+        return f"{fam}, {given[0]}."
+    return fam
+
+
+def partial_ratio(s1: str, s2: str) -> int:
+    """fuzzywuzzy-compatible partial_ratio (0..100, difflib backend)."""
+    if s1 is None or s2 is None:
+        return 0
+    shorter, longer = (s1, s2) if len(s1) <= len(s2) else (s2, s1)
+    blocks = SequenceMatcher(None, shorter, longer).get_matching_blocks()
+    best = 0.0
+    for i, j, _size in blocks:
+        long_start = j - i if j - i > 0 else 0
+        long_substr = longer[long_start : long_start + len(shorter)]
+        r = SequenceMatcher(None, shorter, long_substr).ratio()
+        if r > 0.995:
+            return 100
+        best = max(best, 100 * r)
+    return int(round(best))
+
+
+def split_comma_name(name: str) -> tuple[str, str | None]:
+    """Reference pattern `name.split(',')` + strip — returns (family,
+    given) with given None when there is no comma (fallback branch)."""
+    parts = name.split(",")
+    if len(parts) >= 2:
+        return parts[0].strip(), parts[1].strip()
+    return name, None
+
+
+def match_ids_to_positions(
+    id_fields: list[tuple[str | None, str | None]],
+    person_names: list[tuple[int, str | None, str | None]],
+    threshold: int = 80,
+) -> dict[int, str]:
+    """Reference-direction matcher.
+
+    id_fields: [(name, id), ...] in field order — mainfield + the id
+    subfield of each PAUP/ORCID entry.
+    person_names: [(pos, family, given), ...] person contributions in
+    position order (the F8-split names the agents carry in the graph).
+
+    Returns {pos: id} — for each id field, the first contribution with
+    partial_ratio(normalized_entry, normalized_agent) > threshold; later
+    fields overwrite earlier ones on the same position (graph.set).
+    """
+    norm_positions = [
+        (pos, normalize_person_name(family, given))
+        for pos, family, given in person_names
+    ]
+    out: dict[int, str] = {}
+    for name, id_ in id_fields:
+        if id_ is None or name is None:
+            continue
+        fam, giv = split_comma_name(name)
+        entry_norm = (
+            normalize_person_name(fam, giv) if giv is not None else name
+        )
+        for pos, agent_norm in norm_positions:
+            if agent_norm is None:
+                continue
+            if partial_ratio(entry_norm, agent_norm) > threshold:
+                out[pos] = id_
+                break
+    return out

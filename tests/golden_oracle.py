@@ -344,6 +344,62 @@ def emit_publication(g, rec, B):
         g.add(node, NS.BFLC + "simplePlace", subfield(pu, "o"))
 
 
+def _oracle_partial_ratio(a, b):
+    """fuzzywuzzy partial_ratio semantics, independent implementation:
+    slide the shorter string over same-length windows of the longer at
+    each difflib matching-block alignment, take the best ratio."""
+    import difflib
+
+    if a is None or b is None:
+        return 0
+    short, long_ = (a, b) if len(a) <= len(b) else (b, a)
+    sm = difflib.SequenceMatcher(None, short, long_)
+    best = 0.0
+    for bl in sm.get_matching_blocks():
+        start = max(bl.b - bl.a, 0)
+        window = long_[start : start + len(short)]
+        r = difflib.SequenceMatcher(None, short, window).ratio()
+        if r > 0.995:
+            return 100
+        if r > best:
+            best = r
+    return int(round(best * 100))
+
+
+def _oracle_norm_person(family, given):
+    """F9: umlauts→ascii family + abbreviated given."""
+    if family is None:
+        return None
+    for u, rep in (("ä", "ae"), ("ö", "oe"), ("ü", "ue"),
+                   ("Ä", "Ae"), ("Ö", "Oe"), ("Ü", "Ue"), ("ß", "ss")):
+        family = family.replace(u, rep)
+    return f"{family}, {given[0]}." if given else family
+
+
+def _oracle_match_ids(entries, persons, sub):
+    """J9/J10 reference direction: per id field → first person whose
+    normalized name scores partial_ratio > 80; later fields overwrite."""
+    norms = []
+    for pos, name in persons:
+        fam, giv = family_given(name)
+        norms.append((pos, _oracle_norm_person(fam, giv)))
+    got = {}
+    for e in entries:
+        name, id_ = mainfield(e), subfield(e, sub)
+        if name is None or id_ is None:
+            continue
+        parts = name.split(",")
+        if len(parts) >= 2:
+            key = _oracle_norm_person(parts[0].strip(), parts[1].strip())
+        else:
+            key = name
+        for pos, agent_norm in norms:
+            if agent_norm and _oracle_partial_ratio(key, agent_norm) > 80:
+                got[pos] = id_
+                break
+    return got
+
+
 def contributions_of(rec):
     """Mirror of emit/normalize.contributions_col."""
     aups = [clean(s) for s in rec.get("AUP") or []]
@@ -353,6 +409,13 @@ def contributions_of(rec):
     email = clean_email(clean(rec.get("EMAIL"))) if rec.get("EMAIL") else None
     emid_matches_any = emid is not None and any(
         (mainfield(a) or "").lower().strip() == emid.lower().strip() for a in aups
+    )
+    persons = [(i + 1, mainfield(s)) for i, s in enumerate(aups)]
+    orcid_by_pos = _oracle_match_ids(
+        [clean(o) for o in rec.get("ORCID") or []], persons, "u"
+    )
+    paup_by_pos = _oracle_match_ids(
+        [clean(p_) for p_ in rec.get("PAUP") or []], persons, "n"
     )
     out = []
     for i, s in enumerate(aups):
@@ -367,18 +430,8 @@ def contributions_of(rec):
         if (pos == 1 and own_org is None and own_country is None
                 and cs and cs.strip() and cou and cou.strip()):
             org, country = clean(cs.strip()), clean(cou.strip())
-        orcid = None
-        for o in rec.get("ORCID") or []:
-            o = clean(o)
-            if (mainfield(o) or "").lower().strip() == name.lower().strip():
-                orcid = clean_orcid(subfield(o, "u"))
-                break
-        paup = None
-        for p_ in rec.get("PAUP") or []:
-            p_ = clean(p_)
-            if (mainfield(p_) or "").lower().strip() == name.lower().strip():
-                paup = subfield(p_, "n")
-                break
+        orcid = clean_orcid(orcid_by_pos[pos]) if pos in orcid_by_pos else None
+        paup = paup_by_pos.get(pos)
         em = None
         if email:
             if emid is not None and emid.lower().strip() == name.lower().strip():

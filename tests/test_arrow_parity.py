@@ -25,15 +25,19 @@ def test_arrow_matches_columns_plain(spark, pages):
 
 
 def test_arrow_matches_columns_records_input(spark, pages):
-    """records-shaped input (post-extract) through the same Arrow stage."""
+    """records-shaped input (post-extract) through the same Arrow stage.
+
+    The column side runs through clean_genres because the Arrow emitter
+    applies the A2 thesis-vs-Scholarly rule in-record."""
     from psyndex2linkeddata_spark.emit.arrow import emit_triples_arrow
     from psyndex2linkeddata_spark.emit.normalize import normalize
     from psyndex2linkeddata_spark.extract.parser import extract_records
+    from psyndex2linkeddata_spark.operators.upsert import clean_genres
     from psyndex2linkeddata_spark.plans.pipeline import emit_triples
 
     records = extract_records(pages)
     a = _tset(emit_triples_arrow(records).dropDuplicates())
-    c = _tset(emit_triples(normalize(records)).dropDuplicates())
+    c = _tset(clean_genres(emit_triples(normalize(records)).dropDuplicates()))
     assert a == c, f"arrow-only={len(a - c)} column-only={len(c - a)}"
 
 

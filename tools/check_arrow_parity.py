@@ -35,6 +35,35 @@ def main():
         .collect()
     )
     col_set = {tuple(r) for r in col_triples}
+    # the Arrow emitter applies the A2 thesis-vs-Scholarly rule
+    # in-record; the Column path leaves it to finalize/clean_genres —
+    # apply rule 1 here so raw emits compare equal
+    GF = "http://id.loc.gov/ontologies/bibframe/genreForm"
+    G = "https://w3id.org/zpid/vocabs/genres/"
+    thesis_works = {
+        t[0]
+        for t in col_set
+        if t[1] == GF
+        and t[2]
+        in {
+            G + g
+            for g in (
+                "ThesisDoctoral",
+                "CompilationThesisDoctoral",
+                "ThesisHabilitation",
+                "CompilationThesisHabilitation",
+            )
+        }
+    }
+    col_set = {
+        t
+        for t in col_set
+        if not (
+            t[1] == GF
+            and t[0] in thesis_works
+            and t[2] in (G + "ScholarlyPaper", G + "ScholarlyWork")
+        )
+    }
 
     texts = {r["url"]: r["text"] for r in pages.select("url", "text").collect()}
     py_set = set()

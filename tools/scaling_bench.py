@@ -134,7 +134,9 @@ page plus a uniform-key dedup shuffle.
 
 Pipeline relative to ceiling: {eff / ceiling:.2f}.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # BENCH.md is hand-curated (it combines both level pairs); each raw
+    # run lands in BENCH_scaling_run.md for merging.
+    with open(os.path.join(REPO, "BENCH_scaling_run.md"), "w") as f:
         f.write(md)
     print(md)
 
