@@ -95,7 +95,13 @@ def main() -> None:
         pages_path = os.path.join(d, "pages.parquet")
         write_pages_parquet(pages_path, N_PAGES)
     # one generated file → spread across cores before the emit stage.
-    pages = spark.read.parquet(pages_path).repartition(CPUS * 3)
+    # Task size is bounded by pages, not just cores: each emit task also
+    # runs the map-side partial dedup, and a >1M-triple partial hash map
+    # is GC-bound (measured 2.7× worse than linear at 500k pages with
+    # cores*3 tasks). ~2000 pages (~420k triples) per task matches what
+    # maxPartitionBytes-bounded splits give a real cluster scan.
+    n_parts = max(CPUS * 3, N_PAGES // 2000)
+    pages = spark.read.parquet(pages_path).repartition(n_parts)
     # Warm-up on a tiny slice: pays the one-time driver-side costs (py4j
     # Column-tree construction, codegen, JIT) outside the measurement —
     # at the 10^12-page design point those are noise; the metric is data

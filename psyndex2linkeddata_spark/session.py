@@ -40,6 +40,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # start every exchange wide and let AQE coalesce down: with
+        # shuffle.partitions=cores alone, a 100M-triple dedup lands
+        # ~3M rows in each reduce task (GC-bound hash agg — measured
+        # 3.5× worse than linear at 500k pages); 8×cores initial keeps
+        # reduce tasks ~64-400k rows and costs small queries nothing
+        # because AQE merges them back to target size.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(int(shuffle_partitions) * 8, 256)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
