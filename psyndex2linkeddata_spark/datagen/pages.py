@@ -108,9 +108,17 @@ def make_record(i: int, seed: int = 42) -> dict:
             continue
         seen.add((fam, giv))
         aups.append((fam, giv))
+    # |f role subfields (reference extract_contribution_role,
+    # modules/contributions.py:786-806): most AUPs carry none (→AU);
+    # some carry explicit codes incl. VE (→AU) and RE (→IVR when a CM
+    # contains "interview", else →ED). Real-corpus distribution is
+    # ED-heavy (records-440.xml: 64×ED, 5×UE, 2×IN, 2×RE, 1×AU).
+    has_interview_cm = rng.random() < 0.04
     aup_fields = []
     for fam, giv in aups:
         s = f"{fam}, {giv}"
+        if rng.random() < 0.15:
+            s += f" |f {rng.choice(['ED', 'ED', 'ED', 'UE', 'IN', 'RE', 'VE', 'AU', 'TR'])}"
         if rng.random() < 0.8:
             org, country = _affiliation(rng)
             if rng.random() < 0.05:
@@ -119,7 +127,10 @@ def make_record(i: int, seed: int = 42) -> dict:
         aup_fields.append(s)
     rec["AUP"] = aup_fields
     if be in ("SS", "SM") and rng.random() < 0.3:
-        rec["AUK"] = [f"Deutsche Gesellschaft für Psychologie |c GERMANY"]
+        auk = "Deutsche Gesellschaft für Psychologie"
+        if rng.random() < 0.2:
+            auk += f" |f {rng.choice(['ED', 'RE'])}"
+        rec["AUK"] = [f"{auk} |c GERMANY"]
     # ORCIDs for a subset of authors (name repeated, |u subfield); some dirty urls.
     # Entry names vary from the AUP spelling (abbreviated given, ascii umlauts,
     # appended double-family) — exercises the J9/J10 partial_ratio tier.
@@ -206,12 +217,16 @@ def make_record(i: int, seed: int = 42) -> dict:
         rec["AGE"] = rng.sample(pools.AGE_GROUPS, rng.randrange(1, 3))
     if rng.random() < 0.2:
         rec["PLOC"] = ["Germany" if rng.random() < 0.6 else rng.choice(["Austria", "Switzerland", "United States"])]
-    if rng.random() < 0.75:
+    if rng.random() < 0.75 or has_interview_cm:
         # reference layout: CM carries the code in |c (publication_types.py:126)
         rec["CM"] = [
             f"|c {code} |e method {code}"
             for code in rng.sample(pools.CM_CODES_VALID, rng.randrange(1, 3))
         ]
+        if has_interview_cm:
+            # first CM text contains "interview" → RE roles become IVR
+            # (extract_contribution_role checks record.find("CM").text)
+            rec["CM"][0] = "|c 10500 |e narrative interviews"
 
     # --- journal / instance info ---
     if be == "UZ":

@@ -410,9 +410,19 @@ def is_grant_noise(s):
 
 _ANNIF_CODES = sorted({r["old_cm"] for r in cm_mapping_lookup if r.get("new_cm")})
 
+_ANNIF_TOK_RE = re.compile(r"[^a-z0-9]+")
 
-def annif_stub_code(title):
-    idx = zlib.crc32(title.encode("utf-8")) % len(_ANNIF_CODES)
+
+def annif_text(title, abstract):
+    """Normalized J8 classifier input — byte-identical twin of
+    emit/genres.py annif_text (concat_ws(' ', title, coalesce(abstract,
+    '')) → lower → [^a-z0-9]+→' ' → trim)."""
+    raw = title + " " + (abstract if abstract is not None else "")
+    return _ANNIF_TOK_RE.sub(" ", raw.lower()).strip()
+
+
+def annif_stub_code(text):
+    idx = zlib.crc32(text.encode("utf-8")) % len(_ANNIF_CODES)
     return _ANNIF_CODES[idx]
 
 
@@ -524,6 +534,27 @@ def id_sets(values):
     return (dois, [u for u in urls if keep(u)], unknowns)
 
 
+def contribution_role(s, rec):
+    """|f role code of an AUP/AUK field (reference
+    modules/contributions.py:786-806 extract_contribution_role):
+    default AU when absent; VE→AU (historical synonym); RE→IVR when the
+    record's first CM field contains "interview" (case-sensitive, raw
+    text — reference checks ``record.find("CM").text``), else RE→ED.
+    Deviation: a missing CM on an RE record crashes the reference
+    (AttributeError on None.text); we treat it as the non-interview
+    branch (→ED)."""
+    role = subfield(s, "f")
+    if role is None:
+        return "AU"
+    if role == "VE":
+        return "AU"
+    if role == "RE":
+        cm = rec.get("CM") or []
+        first_cm = cm[0] if cm else None
+        return "IVR" if (first_cm is not None and "interview" in first_cm) else "ED"
+    return role
+
+
 def contributions_of(rec):
     """contributions_col twin: list of contribution dicts (A1, J9-J12)."""
     aup = rec.get("AUP") or []
@@ -598,6 +629,7 @@ def contributions_of(rec):
                 family=family_name(name),
                 given=given_name(name),
                 qualifier=qualifier(pos),
+                role=contribution_role(s, rec),
                 org=org,
                 country=country,
                 orcid=clean_orcid(orcid_by_pos.get(pos)),
@@ -615,6 +647,7 @@ def contributions_of(rec):
                 family=None,
                 given=None,
                 qualifier=qualifier(pos),
+                role=contribution_role(s, rec),
                 org=None,
                 country=subfield(s, "c"),
                 orcid=None,
@@ -975,7 +1008,7 @@ def emit_contributions(g, rec, W, contribs):
             dtype=NS.XSD_INTEGER,
         )
         g.add(cnode, NS.BF + "qualifier", c["qualifier"])
-        g.add(cnode, NS.BF + "role", NS.ROLES + "AU", iri=True)
+        g.add(cnode, NS.BF + "role", NS.ROLES + c["role"], iri=True)
         if c["email"] is not None:
             g.add(cnode, NS.MADS + "email", "mailto:" + c["email"], iri=True)
         g.add(cnode, NS.BF + "agent", agent, iri=True)
@@ -1101,7 +1134,7 @@ def emit_terms(g, rec, W):
         g.add(W, NS.BFLC + "demographicGroup", node, iri=True)
 
 
-def emit_genres(g, rec, W, B):
+def emit_genres(g, rec, W, B, annif=True):
     # issuance
     if rec.get("BE") is not None:
         label = _ISSUANCE.get(trim(rec["BE"])) or "Other"
@@ -1140,8 +1173,8 @@ def emit_genres(g, rec, W, B):
     # CM methods (J17 + A6, J8 stub)
     cm = rec.get("CM") or []
     codes = [subfield(s, "c") for s in cm]
-    if not cm and rec.get("TI") is not None:
-        codes = [annif_stub_code(trim(rec["TI"]))]
+    if annif and not cm and rec.get("TI") is not None:
+        codes = [annif_stub_code(annif_text(trim(rec["TI"]), rec.get("ABH")))]
     mapped = []
     for c in codes:
         new_cm = _CM_NEW.get(c) if c is not None else None
@@ -1611,8 +1644,17 @@ def emit_book(g, rec, B):
 
 
 def emit_thesis(g, rec, W, contribs):
+    # Thesis gate (reference get_thesis_info, research_info.py:1649): only
+    # BE=="SH" or DT/DT2=="61" records are theses — GRAD/PD extraction
+    # happens inside that branch, so a plain article's PY never becomes a
+    # degree date.
+    if not (
+        rec.get("BE") == "SH" or rec.get("DT") == "61" or rec.get("DT2") == "61"
+    ):
+        return
     degree = nullif_empty(rec.get("GRAD"))
-    d_value, _d_kind = date_or_year(rec.get("PD"), rec.get("PROMY"), rec.get("PY"))
+    # PD→PROMY only — the reference's PY fallback is dead code (see thesis.py)
+    d_value, _d_kind = date_or_year(rec.get("PD"), rec.get("PROMY"))
     has_core = degree is not None or d_value is not None
     if not has_core:
         return
@@ -1654,7 +1696,7 @@ def emit_thesis(g, rec, W, contribs):
             emit_affiliation(g, inst, None, cnode, cnode + "_personagent")
 
 
-def record_triples(rec: dict, sink: Sink | None = None):
+def record_triples(rec: dict, sink: Sink | None = None, annif: bool = True):
     """One record dict -> (subj, pred, obj, obj_is_iri, lang, dtype) rows.
 
     Mirrors plans/pipeline.emitter_columns() exactly; parity enforced by
@@ -1683,7 +1725,7 @@ def record_triples(rec: dict, sink: Sink | None = None):
     emit_abstract(g, rec, W, "ABH", "ABLH", "ASH1", secondary=False)
     emit_abstract(g, rec, W, "ABN", "ABLN", "ASH2", secondary=True)
     emit_terms(g, rec, W)
-    emit_genres(g, rec, W, B)
+    emit_genres(g, rec, W, B, annif=annif)
     emit_funding(g, rec, W)
     emit_conferences(g, rec, W)
     emit_research_data(g, rec, W)
@@ -1727,14 +1769,16 @@ def parse_page_text(text: str) -> dict:
 _RES_COLS = ("_rplic_res", "_rel_res", "_testg_res")
 
 
-def emit_triples_arrow(df, bad_dfks: frozenset | None = None):
+def emit_triples_arrow(df, bad_dfks: frozenset | None = None, annif: bool = True):
     """records-or-pages DataFrame -> triples DataFrame via one Arrow stage.
 
     Input is either the canonical records shape (has a DFK column — output
     of extract_records / starxml) or the raw pages shape (url, text, ...);
     pages are parsed in-stage (parse_page_text). `bad_dfks` applies the
     S3 kill-list inside the stage (small curated list; the records path
-    keeps using the broadcast anti-join operator).
+    keeps using the broadcast anti-join operator). `annif=False` models
+    the reference's offline degrade (no J8 suggestion for CM-less works —
+    the mode the reference-exec oracle compares against).
     """
     pages_mode = "DFK" not in df.columns
     res_cols = [c for c in _RES_COLS if c in df.columns]
@@ -1789,7 +1833,7 @@ def emit_triples_arrow(df, bad_dfks: frozenset | None = None):
                     }
                 if rec.get("DFK") is None or rec["DFK"] in bad:
                     continue
-                record_triples(rec, g)
+                record_triples(rec, g, annif=annif)
                 if len(g) >= flush_rows:
                     yield g.record_batch()
                     g = Sink()

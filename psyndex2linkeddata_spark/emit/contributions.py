@@ -103,10 +103,12 @@ def contributions() -> Column:
 
     work#contribution{pos} a bf:Contribution (+ bflc:PrimaryContribution at
     pos 1), pxp:contributionPosition (xsd:integer), bf:qualifier
-    first/middle/last, bf:role roles:AU (graph.set site → single value),
-    agent node _personagent a bf:Person (label, schema names, _orcid a
-    locid:orcid, _psychauthorsid a pxc:PsychAuthorsID) or _orgagent a
-    bf:Organization; mads:email mailto IRI on the contribution node.
+    first/middle/last, bf:role roles:{|f code, default AU, VE→AU,
+    RE→IVR/ED — extract_contribution_role, resolved in normalize}
+    (graph.set site → single value), agent node _personagent a bf:Person
+    (label, schema names, _orcid a locid:orcid, _psychauthorsid a
+    pxc:PsychAuthorsID) or _orgagent a bf:Organization; mads:email
+    mailto IRI on the contribution node.
     """
 
     def one(c: Column) -> Column:
@@ -128,7 +130,7 @@ def contributions() -> Column:
             ),
             T(cnode, NS.PXP + "contributionPosition", c["pos"], dtype=NS.XSD_INTEGER),
             T(cnode, NS.BF + "qualifier", c["qualifier"]),
-            T(cnode, NS.BF + "role", NS.ROLES + "AU", iri=True),
+            T(cnode, NS.BF + "role", F.concat(F.lit(NS.ROLES), c["role"]), iri=True),
             T(
                 cnode,
                 NS.MADS + "email",

@@ -124,34 +124,48 @@ def work_genres() -> Column:
 
 
 # J8 Annif stand-in: the reference asks an ML service for a method code
-# when a record has no CM (publication_types.py:125-185). The engine's
-# deterministic replacement classifies by a stable hash of the title over
-# the mappable CM codes — same call surface (text → code), no service.
+# when a record has no CM (publication_types.py:125-185, text = title +
+# abstract + language-matched keywords). The engine's deterministic
+# replacement classifies the same text surface — the normalized token
+# stream of title+abstract — by a stable hash over the mappable CM codes:
+# same call surface (text → code), content-dependent, no service.
 _ANNIF_CODES = sorted({r["old_cm"] for r in cm_mapping_lookup if r.get("new_cm")})
 
 
-def annif_stub_code(title: Column) -> Column:
-    idx = F.pmod(F.crc32(F.encode(title, "utf-8")), F.lit(len(_ANNIF_CODES)))
+def annif_text(title: Column, abstract: Column) -> Column:
+    """Normalized classifier input: lowercase alphanumeric tokens of
+    title + ' ' + abstract, single-space joined (byte-identical twin in
+    emit/arrow.py annif_text)."""
+    raw = F.concat_ws(" ", title, F.coalesce(abstract, F.lit("")))
+    toks = F.regexp_replace(F.lower(raw), r"[^a-z0-9]+", " ")
+    return F.trim(toks)
+
+
+def annif_stub_code(text: Column) -> Column:
+    idx = F.pmod(F.crc32(F.encode(text, "utf-8")), F.lit(len(_ANNIF_CODES)))
     m = _lit_map((str(i), c) for i, c in enumerate(_ANNIF_CODES))
     return m[idx.cast("string")]
 
 
-def cm_methods() -> Column:
+def cm_methods(annif: bool = True) -> Column:
     """J17 + A6: CM |c codes recoded through cm_mapping_lookup; every mapped
     method gets work#controlledmethod{n} a pxc:ControlledMethod (n counts
     only mapped methods, first one also ControlledMethodWeighted), owl:sameAs
     methods vocab URI, rdfs:label, via bf:classification; mapped new_genre →
     genreForm edges (publication_types.py:203-330). Records without CM get
-    one J8-suggested code (annif_stub_code)."""
+    one J8-suggested code (annif_stub_code); `annif=False` models the
+    reference's offline degrade (Annif unreachable → no suggestion, no
+    method node) — the mode the reference-exec oracle compares against."""
     codes = F.transform(
         F.coalesce(F.col("CM"), F.array()),
         lambda s: subfield(s, "c"),
     )
-    no_cm = F.size(F.coalesce(F.col("CM"), F.array())) == 0
-    codes = F.when(
-        no_cm & F.col("TI").isNotNull(),
-        F.array(annif_stub_code(F.trim(F.col("TI")))),
-    ).otherwise(codes)
+    if annif:
+        no_cm = F.size(F.coalesce(F.col("CM"), F.array())) == 0
+        codes = F.when(
+            no_cm & F.col("TI").isNotNull(),
+            F.array(annif_stub_code(annif_text(F.trim(F.col("TI")), F.col("ABH")))),
+        ).otherwise(codes)
     mapped = F.filter(
         F.transform(
             codes,
@@ -190,5 +204,5 @@ def cm_methods() -> Column:
     return pack_arr(F.concat(method_triples, genre_triples))
 
 
-def issuance_and_genres() -> Column:
-    return F.concat(issuance(), work_genres(), cm_methods())
+def issuance_and_genres(annif: bool = True) -> Column:
+    return F.concat(issuance(), work_genres(), cm_methods(annif=annif))

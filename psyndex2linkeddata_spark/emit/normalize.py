@@ -104,6 +104,23 @@ def contributions_col(df: DataFrame) -> Column:
             .otherwise(F.lit("middle"))
         )
 
+    def role(s: Column) -> Column:
+        """|f contribution role (reference modules/contributions.py:786-806
+        extract_contribution_role): default AU; VE→AU; RE→IVR when the
+        first CM field contains "interview" (case-sensitive — the
+        reference checks ``record.find("CM").text`` raw), else RE→ED.
+        Missing-CM RE records crash the reference; we take the →ED branch
+        (same deviation as the Arrow twin emit/arrow.py contribution_role)."""
+        raw = subfield(s, "f")
+        first_cm = F.try_element_at(F.coalesce(F.col("CM"), F.array()), F.lit(1))
+        interview = first_cm.isNotNull() & first_cm.contains("interview")
+        return (
+            F.when(raw.isNull(), F.lit("AU"))
+            .when(raw == "VE", F.lit("AU"))
+            .when(raw == "RE", F.when(interview, F.lit("IVR")).otherwise(F.lit("ED")))
+            .otherwise(raw)
+        )
+
     def person(s: Column, i: Column) -> Column:
         pos = i + 1
         name = mainfield(s)
@@ -147,6 +164,7 @@ def contributions_col(df: DataFrame) -> Column:
             family_name(cleaned(name)).alias("family"),
             given_name(cleaned(name)).alias("given"),
             qualifier(pos).alias("qualifier"),
+            role(s).alias("role"),
             F.coalesce(
                 own_org, F.when(cs_applies, cleaned(nullif_empty(F.col("CS"))))
             ).alias("org"),
@@ -169,6 +187,7 @@ def contributions_col(df: DataFrame) -> Column:
             F.lit(None).cast("string").alias("family"),
             F.lit(None).cast("string").alias("given"),
             qualifier(pos).alias("qualifier"),
+            role(s).alias("role"),
             F.lit(None).cast("string").alias("org"),
             subfield(s, "c").alias("country"),
             F.lit(None).cast("string").alias("orcid"),

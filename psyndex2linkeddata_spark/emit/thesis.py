@@ -4,7 +4,9 @@ Reference: /root/reference/modules/research_info.py — thesis_infos dict
 (:1621-1631), date parse F16 (:1784-1825), build_thesis_nodes (:1828-1912),
 add_thesis_info_to_first_contributon (:1913-1960).
 
-work#dissertation a bf:Dissertation (degree from GRAD, date from PD→PROMY→PY)
+work#dissertation a bf:Dissertation — only for thesis records (BE=SH or
+DT/DT2=61); degree from GRAD, date from PD→PROMY (the reference's PY arm
+is unreachable)
 via bf:dissertation; HRF → #thesis_advisor a bf:Contribution+bf:ThesisAdvisory
 (role relators:ths, https scheme — the reference mixes http/https schemes per
 module and we mirror it); KRF → #thesis_reviewer_{n} (role dgc; only emitted
@@ -49,9 +51,21 @@ def _person_contribution(
 
 
 def thesis() -> Column:
+    # Only thesis records get a dissertation node: BE == "SH" or DT/DT2 ==
+    # "61" (reference get_thesis_info, research_info.py:1649 — GRAD/PD are
+    # extracted inside that branch only, so a non-thesis record's PY never
+    # becomes a degree date).
+    is_thesis = (
+        (F.coalesce(F.col("BE"), F.lit("")) == "SH")
+        | (F.coalesce(F.col("DT"), F.lit("")) == "61")
+        | (F.coalesce(F.col("DT2"), F.lit("")) == "61")
+    )
     degree = cleaned(nullif_empty(F.col("GRAD")))
-    d = date_or_year(F.col("PD"), F.col("PROMY"), F.col("PY"))
-    has_core = degree.isNotNull() | d["value"].isNotNull()
+    # PD→PROMY only: the reference's PY fallback (research_info.py:1815)
+    # is unreachable — the PROMY branch cannot raise — so a thesis with
+    # neither PD nor PROMY gets no date.
+    d = date_or_year(F.col("PD"), F.col("PROMY"))
+    has_core = is_thesis & (degree.isNotNull() | d["value"].isNotNull())
     diss = frag(W(), "dissertation")
 
     core = pack(

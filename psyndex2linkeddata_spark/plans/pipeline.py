@@ -40,7 +40,7 @@ def _memo(key: str, build):
     return _COLUMN_CACHE[cache_key]
 
 
-def emitter_columns() -> list[Column]:
+def emitter_columns(annif: bool = True) -> list[Column]:
     """All registered emitters (grows as SURVEY §2.6 coverage widens)."""
     from psyndex2linkeddata_spark.emit import (  # late import: module registry
         abstracts,
@@ -62,7 +62,7 @@ def emitter_columns() -> list[Column]:
         terms.topics(),
         terms.subject_headings(),
         terms.age_groups(),
-        genres.issuance_and_genres(),
+        genres.issuance_and_genres(annif=annif),
         genres.license_node(),
         funding.funding(),
         funding.conferences(),
@@ -77,9 +77,11 @@ def emitter_columns() -> list[Column]:
     ]
 
 
-def emit_triples(norm_records: DataFrame) -> DataFrame:
+def emit_triples(norm_records: DataFrame, annif: bool = True) -> DataFrame:
     """normalized records → raw triples (single scan, single explode)."""
-    arr = _memo("emit_array", lambda: F.concat(*emitter_columns()))
+    arr = _memo(
+        f"emit_array_annif={annif}", lambda: F.concat(*emitter_columns(annif=annif))
+    )
     return explode_triples(norm_records, arr)
 
 
@@ -124,7 +126,9 @@ def finalize(
 
 
 def _build_triples_columns(
-    pages: DataFrame, authorities: dict[str, DataFrame] | None
+    pages: DataFrame,
+    authorities: dict[str, DataFrame] | None,
+    annif: bool = True,
 ) -> DataFrame:
     """Declarative path: the full emit as native column expressions."""
     from psyndex2linkeddata_spark.extract.parser import filter_bad_ids
@@ -155,11 +159,13 @@ def _build_triples_columns(
         from psyndex2linkeddata_spark.plans.crossref import resolve_testg_ids
 
         norm = resolve_testg_ids(norm, authorities["tests"])
-    return finalize(emit_triples(norm))
+    return finalize(emit_triples(norm, annif=annif))
 
 
 def _build_triples_arrow(
-    pages: DataFrame, authorities: dict[str, DataFrame] | None
+    pages: DataFrame,
+    authorities: dict[str, DataFrame] | None,
+    annif: bool = True,
 ) -> DataFrame:
     """Arrow path: one narrow mapInPandas stage (emit/arrow.py) does
     parse+emit; the offline-linking joins (J13-J15) still run as
@@ -202,10 +208,12 @@ def _build_triples_arrow(
                 )
         # barrier: enrich_triples references the set many times
         return finalize(
-            emit_triples_arrow(records), barrier=True, genre_cleanup=False
+            emit_triples_arrow(records, annif=annif),
+            barrier=True,
+            genre_cleanup=False,
         )
     return finalize(
-        emit_triples_arrow(pages),
+        emit_triples_arrow(pages, annif=annif),
         barrier=bool(authorities),
         genre_cleanup=False,
     )
@@ -215,6 +223,7 @@ def build_triples(
     pages: DataFrame,
     authorities: dict[str, DataFrame] | None = None,
     emit_mode: str | None = None,
+    annif: bool = True,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → deduplicated triples DF.
 
@@ -232,9 +241,9 @@ def build_triples(
 
     mode = emit_mode or os.environ.get("SPARK_GRAFT_EMIT", "arrow")
     if mode == "columns":
-        triples = _build_triples_columns(pages, authorities)
+        triples = _build_triples_columns(pages, authorities, annif=annif)
     else:
-        triples = _build_triples_arrow(pages, authorities)
+        triples = _build_triples_arrow(pages, authorities, annif=annif)
     if authorities:
         from psyndex2linkeddata_spark.plans.enrich import enrich_triples
 

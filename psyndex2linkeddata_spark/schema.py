@@ -26,8 +26,10 @@ SCALAR_FIELDS: tuple[str, ...] = (
     "ABLH",     # abstract language name
     "ABN",      # secondary abstract
     "ABLN",     # secondary abstract language name
-    "ASH1",     # abstract origin (primary)
-    "ASH2",     # abstract origin (secondary)
+    "ASH1",     # abstract origin (primary source)
+    "ASH2",     # primary abstract editor (descriptionModifier)
+    "ASN1",     # secondary abstract origin (source)
+    "ASN2",     # secondary abstract editor (descriptionModifier)
     "COPR",     # copyright/license: |c code |d german |e english
     "JT",       # journal title
     "JBD",      # volume
@@ -39,12 +41,14 @@ SCALAR_FIELDS: tuple[str, ...] = (
     "MT2",      # media type 2
     "DOI",
     "URN",
+    "URLI",     # full-text / landing-page URL → bf:electronicLocator
     "PU",       # publisher: name |o place
     "PHIST",    # publication history; |o online-first date
     "ISBN",
     "EISBN",
     "SE",       # series statement "Title, Band N"
     "SSDFK",    # DFK of superordinate book (chapters)
+    "BIP",      # title of superordinate book (chapters)
     "DT",       # document type code
     "DT2",
     "BN",       # book note flags

@@ -400,6 +400,25 @@ def _oracle_match_ids(entries, persons, sub):
     return got
 
 
+def _contribution_role(s, rec):
+    """Written from the reference's extract_contribution_role
+    (modules/contributions.py:786-806), NOT from the engine: role is the
+    |f subfield, default "AU"; "VE" → "AU"; "RE" → "IVR" if the record's
+    first CM raw text contains "interview" (case-sensitive,
+    ``record.find("CM").text``) else "ED". Reference crashes when an RE
+    record has no CM; oracle takes the non-interview branch there."""
+    code = subfield(s, "f")
+    if code is None:
+        return "AU"
+    if code == "VE":
+        return "AU"
+    if code == "RE":
+        cms = rec.get("CM") or []
+        first = clean(cms[0]) if cms else None
+        return "IVR" if first is not None and "interview" in first else "ED"
+    return code
+
+
 def contributions_of(rec):
     """Mirror of emit/normalize.contributions_col."""
     aups = [clean(s) for s in rec.get("AUP") or []]
@@ -439,13 +458,15 @@ def contributions_of(rec):
             elif pos == 1 and (emid is None or not emid_matches_any):
                 em = email
         out.append(dict(pos=pos, kind="person", name=name, family=fam, given=giv,
-                        qualifier=qual, org=org, country=country, orcid=orcid,
+                        qualifier=qual, role=_contribution_role(s, rec),
+                        org=org, country=country, orcid=orcid,
                         paup_id=paup, email=em))
     for j, s in enumerate(auks):
         pos = len(aups) + j + 1
         qual = "first" if pos == 1 else ("last" if pos == total else "middle")
         out.append(dict(pos=pos, kind="org", name=mainfield(s), family=None,
-                        given=None, qualifier=qual, org=None,
+                        given=None, qualifier=qual,
+                        role=_contribution_role(s, rec), org=None,
                         country=subfield(s, "c"), orcid=None, paup_id=None,
                         email=None))
     return out
@@ -488,7 +509,7 @@ def emit_contributions(g, rec, W, contribs):
             g.add(cnode, NS.RDF_TYPE, NS.BFLC + "PrimaryContribution", iri=True)
         g.add(cnode, NS.PXP + "contributionPosition", c["pos"], dtype=NS.XSD_INTEGER)
         g.add(cnode, NS.BF + "qualifier", c["qualifier"])
-        g.add(cnode, NS.BF + "role", NS.ROLES + "AU", iri=True)
+        g.add(cnode, NS.BF + "role", NS.ROLES + c["role"], iri=True)
         if c["email"]:
             g.add(cnode, NS.MADS + "email", "mailto:" + c["email"], iri=True)
         g.add(cnode, NS.BF + "agent", agent, iri=True)
@@ -652,7 +673,8 @@ def emit_genres(g, rec, W, B):
     if genre:
         g.add(NS.GENRES + genre, NS.RDF_TYPE, NS.BF + "GenreForm", iri=True)
         g.add(W, NS.BF + "genreForm", NS.GENRES + genre, iri=True)
-    # CM methods + genres (J8 stand-in: hash-of-title code when no CM)
+    # CM methods + genres (J8 stand-in: content hash of the normalized
+    # title+abstract token stream when no CM — mirrors emit/genres.annif_text)
     import zlib
 
     cm_fields = rec.get("CM") or []
@@ -660,7 +682,9 @@ def emit_genres(g, rec, W, B):
     if not cm_fields and rec.get("TI") is not None:
         annif_codes = sorted({r["old_cm"] for r in cm_mapping_lookup if r.get("new_cm")})
         title = clean(rec["TI"]).strip()
-        codes = [annif_codes[zlib.crc32(title.encode("utf-8")) % len(annif_codes)]]
+        abstract = clean(rec["ABH"]) if rec.get("ABH") is not None else ""
+        text = re.sub(r"[^a-z0-9]+", " ", (title + " " + abstract).lower()).strip()
+        codes = [annif_codes[zlib.crc32(text.encode("utf-8")) % len(annif_codes)]]
     n = 0
     for code in codes:
         row = _CM.get(code)
@@ -1158,8 +1182,16 @@ def emit_book(g, rec, B):
 
 
 def emit_thesis(g, rec, W, contribs):
+    # Thesis gate written from reference get_thesis_info
+    # (research_info.py:1649): only BE=="SH" or DT/DT2=="61" records are
+    # theses; GRAD/PD are read inside that branch only.
+    if not (
+        rec.get("BE") == "SH" or rec.get("DT") == "61" or rec.get("DT2") == "61"
+    ):
+        return
     degree = clean(rec["GRAD"].strip()) if rec.get("GRAD") and rec["GRAD"].strip() else None
-    value, _kind = date_or_year(rec.get("PD"), rec.get("PROMY"), rec.get("PY"))
+    # PD→PROMY only — reference PY fallback (research_info.py:1815) is dead code
+    value, _kind = date_or_year(rec.get("PD"), rec.get("PROMY"))
     if not (degree or value):
         return
     diss = W + "#dissertation"
