@@ -393,9 +393,13 @@ def q_connected_components(spark, sf):
 
 def q_kg_pipeline_synthetic(spark, sf):
     """The full psyndex KG pipeline on 150 deterministic synthetic pages
-    (pages→records→mentions→triples). Correctness vs the row-at-a-time
-    golden oracle is gated in tests/test_golden.py; here the driver checks
-    schema + row stability."""
+    (pages→records→mentions→triples), reduced to a deterministic summary
+    row (triple count + order-independent crc32 content aggregate) so the
+    driver can hash it against a pinned oracle (the corpus is seeded —
+    tools/pin_pipeline_oracle.py recomputes the constants). Full
+    record-level correctness is gated by tests/test_golden.py (row-at-a-
+    time oracle) and tests/test_reference_exec.py (the reference's own
+    converter output)."""
     from psyndex2linkeddata_spark.datagen.pages import (
         make_records,
         pages_rows_from_records,
@@ -405,7 +409,23 @@ def q_kg_pipeline_synthetic(spark, sf):
 
     rows = pages_rows_from_records(make_records(150))
     pages = spark.createDataFrame(rows, schema=pages_schema())
-    return build_triples(pages)
+    t = build_triples(pages)
+    return t.select(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.sum(
+            F.crc32(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("subj"),
+                    F.col("pred"),
+                    F.col("obj"),
+                    F.col("obj_is_iri").cast("string"),
+                    F.coalesce(F.col("lang"), F.lit("")),
+                    F.coalesce(F.col("dtype"), F.lit("")),
+                )
+            )
+        ).alias("content_crc"),
+    )
 
 
 def q_multimodal_features(spark, sf):
@@ -863,7 +883,16 @@ def oracle_sql() -> dict[str, str]:
                                as bigint) as varchar)), ',') as feature_sig
             from m
         """,
-        # kg_pipeline_synthetic: no SQL equivalent — the full custom
-        # pipeline over generated pages; driver records a rows-only check
-        # (correctness is gated by tests/test_golden.py P=R=1.0).
+        # The full custom pipeline has no SQL equivalent, so the query
+        # reduces its triple set to a deterministic summary row (count +
+        # order-independent crc32 aggregate over the seeded 150-page
+        # corpus) and the oracle pins the expected constants
+        # (tools/pin_pipeline_oracle.py recomputes them; record-level
+        # correctness is gated by tests/test_golden.py P=R=1.0 and
+        # tests/test_reference_exec.py against the reference's own
+        # converter output).
+        "kg_pipeline_synthetic": """
+            select cast(31807 as bigint) as n_triples,
+                   cast(68305532643809 as bigint) as content_crc
+        """,
     }

@@ -90,6 +90,42 @@ def auth_persons_rows(seed: int = 42) -> list[dict]:
     return rows
 
 
+def auth_kerndaten_rows(seed: int = 42) -> list[dict]:
+    """PsychAuthors kerndaten stand-in (the reference parses
+    ttl-data/kerndaten.ttl at import, modules/contributions.py:405-407,
+    and falls back to its schema:alternateName variants when a PAUP
+    name matches no contribution, :456-498). One row per person id:
+    (paup_id, alternate_names). The alternates include the canonical
+    'Family, Given' spelling plus the deterministic 'former name'
+    variant pages.py can emit in PAUP — so those entries resolve ONLY
+    through this tier."""
+    from psyndex2linkeddata_spark.datagen.pages import (
+        _former_family,
+        _stable_hash,
+    )
+
+    people = set(pools.HOT_AUTHORS)
+    for fam in pools.FAMILY_NAMES:
+        for giv in pools.GIVEN_NAMES:
+            people.add((fam, giv))
+    by_pid: dict[str, set] = {}
+    for fam, giv in sorted(people):
+        pid = f"p{(_stable_hash(fam + '|' + giv) % 90000) + 10000:05d}"
+        # hash collisions merge alternate lists (one pid row each — the
+        # per-record resolution map requires unique map keys)
+        by_pid.setdefault(pid, set()).update(
+            {
+                f"{fam}, {giv}",
+                f"{fam}, {giv[0]}.",
+                f"{_former_family(fam, giv)}, {giv}",
+            }
+        )
+    return [
+        {"paup_id": pid, "alternate_names": sorted(alts)}
+        for pid, alts in sorted(by_pid.items())
+    ]
+
+
 def auth_works_rows(seed: int = 42) -> list[dict]:
     """Crossref-works stand-in: (doi, title, author_families, year)."""
     rng = random.Random(f"{seed}:works")
@@ -240,6 +276,7 @@ def bad_ids_rows(n_pages: int, seed: int = 42) -> list[dict]:
 AUTHORITY_BUILDERS = {
     "auth_orgs": auth_orgs_rows,
     "auth_persons": auth_persons_rows,
+    "auth_kerndaten": auth_kerndaten_rows,
     "auth_works": auth_works_rows,
     "auth_concepts": auth_concepts_rows,
     "auth_tests": auth_tests_rows,

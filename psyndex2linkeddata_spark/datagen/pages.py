@@ -43,6 +43,19 @@ def _dfk(i: int) -> str:
     return f"{300000 + i:07d}"
 
 
+def _former_family(fam: str, giv: str) -> str:
+    """Deterministic 'former name' family spelling for the kerndaten
+    scenario — a different pool name keyed on the person, so
+    authorities.auth_kerndaten_rows can regenerate the same variant.
+    (If a picked pair happens to fuzzy-match anyway, the direct tier
+    simply wins in engine and oracle alike.)"""
+    idx = _stable_hash("former:" + fam + "|" + giv) % len(pools.FAMILY_NAMES)
+    cand = pools.FAMILY_NAMES[idx]
+    if cand == fam:
+        cand = pools.FAMILY_NAMES[(idx + 1) % len(pools.FAMILY_NAMES)]
+    return cand
+
+
 def _person(rng: random.Random) -> tuple[str, str]:
     if rng.random() < 0.20:
         return rng.choice(pools.HOT_AUTHORS)
@@ -68,6 +81,14 @@ def _orcid(rng: random.Random) -> str:
 
 
 def _doi(rng: random.Random) -> str:
+    # ~10% SICI-style DOIs with parens/angle brackets — the chars
+    # urllib.parse.quote percent-encodes into the bf:Doi node URI
+    if rng.random() < 0.1:
+        return (
+            f"10.{rng.randrange(1000, 9999)}/(SICI)1099-{rng.randrange(1000, 9999)}"
+            f"(199{rng.randrange(10)})5:1<{rng.randrange(10, 99)}::AID-"
+            f"{rng.randrange(100, 999)}>3.0.CO;2-{rng.choice('ABCDEF')}"
+        )
     return f"10.{rng.randrange(1000, 9999)}/s{rng.randrange(10000, 99999)}-{rng.randrange(100, 999)}-{rng.randrange(10000, 99999)}-{rng.randrange(10)}"
 
 
@@ -91,6 +112,8 @@ def make_record(i: int, seed: int = 42) -> dict:
     rec["TIL"] = "German" if is_german_title else "English"
     if rng.random() < 0.25:
         rec["TIU"] = "Subtitle " + rng.choice(pools.TITLE_TAILS)
+        if rng.random() < 0.6:
+            rec["TIUL"] = rec["TIL"]
     if rng.random() < 0.4:
         # translated title with (DeepL) marker and |s language subfield
         tlang = "English" if is_german_title else "German"
@@ -117,6 +140,16 @@ def make_record(i: int, seed: int = 42) -> dict:
     aup_fields = []
     for fam, giv in aups:
         s = f"{fam}, {giv}"
+        r = rng.random()
+        if r < 0.02:
+            # corporate body in the person field with a trailing comma
+            # (records-440.xml 0396760: 'Niedersächsisches Institut ...
+            # (nifbe),' → family without comma, givenName '')
+            s = f"Institut für {fam}forschung ({giv.lower()[:4]}),"
+        elif r < 0.04:
+            # single-token name, no comma → reference except branch:
+            # family = whole, givenName = '' (still emitted)
+            s = fam
         if rng.random() < 0.15:
             s += f" |f {rng.choice(['ED', 'ED', 'ED', 'UE', 'IN', 'RE', 'VE', 'AU', 'TR'])}"
         if rng.random() < 0.8:
@@ -152,6 +185,10 @@ def make_record(i: int, seed: int = 42) -> dict:
             if rng.random() < 0.3:
                 oid = "https://orcid.org/" + oid
             orcids.append(f"{_entry_name(fam, giv)} |u {oid}")
+            if rng.random() < 0.08:
+                # second entry matching the same person — both rdf:values
+                # accumulate on the one _orcid node (graph.add semantics)
+                orcids.append(f"{_entry_name(fam, giv)} |u {_orcid(rng)}")
     if orcids:
         rec["ORCID"] = orcids
     # PsychAuthors ids for some authors
@@ -159,7 +196,15 @@ def make_record(i: int, seed: int = 42) -> dict:
     for fam, giv in aups:
         if rng.random() < 0.25:
             pid = f"p{(_stable_hash(fam + '|' + giv) % 90000) + 10000:05d}"
-            paups.append(f"{_entry_name(fam, giv)} |n {pid}")
+            if rng.random() < 0.15:
+                # changed/married name: the PAUP entry carries a FORMER
+                # family-name spelling that no longer fuzzy-matches the
+                # AUP — resolvable only via the kerndaten alternate-name
+                # tier (authorities.auth_kerndaten_rows lists the AUP
+                # spelling as a schema:alternateName for this pid)
+                paups.append(f"{_former_family(fam, giv)}, {giv} |n {pid}")
+            else:
+                paups.append(f"{_entry_name(fam, giv)} |n {pid}")
     if paups:
         rec["PAUP"] = paups
     if rng.random() < 0.5:
@@ -186,11 +231,16 @@ def make_record(i: int, seed: int = 42) -> dict:
         rec["ABH"] = abstract
         rec["ABLH"] = "German" if is_german_title else "English"
         rec["ASH1"] = rng.choice(["Original", "ZPID", "DeepL", "Autorenfassung"])
+        if rng.random() < 0.25:
+            # primary abstract's editing agent (→ bf:descriptionModifier)
+            rec["ASH2"] = rng.choice(["ZPID", "Original", "kj", "DeepL"])
         if rng.random() < 0.3:
             sents2 = pools.ABSTRACT_SENTENCES_EN if is_german_title else pools.ABSTRACT_SENTENCES_DE
             rec["ABN"] = " ".join(rng.choice(sents2) for _ in range(rng.randrange(2, 5)))
             rec["ABLN"] = "English" if is_german_title else "German"
-            rec["ASH2"] = rng.choice(["Original", "ZPID", "DeepL"])
+            rec["ASN1"] = rng.choice(["Original", "ZPID", "DeepL"])
+            if rng.random() < 0.25:
+                rec["ASN2"] = rng.choice(["ZPID", "Original"])
     elif rng.random() < 0.5:
         rec["ABH"] = "No abstract available."
         rec["ABLH"] = "English"
@@ -280,8 +330,13 @@ def make_record(i: int, seed: int = 42) -> dict:
         if rng.random() < 0.3:
             rec["DOI"] = _doi(rng)
     elif be in ("US", "UR"):
-        # chapter: points to a superordinate book dfk (an earlier record)
-        rec["SSDFK"] = _dfk(max(0, i - rng.randrange(1, 50)))
+        # chapter: usually points to a superordinate book dfk (an earlier
+        # record); some only carry the book's title in BIP (→ the
+        # bflc:Uncontrolled + title-only branch)
+        if rng.random() < 0.8:
+            rec["SSDFK"] = _dfk(max(0, i - rng.randrange(1, 50)))
+        if rng.random() < 0.7:
+            rec["BIP"] = f"Handbuch {rng.choice(['Psychologie', 'Diagnostik', 'Therapie', 'Entwicklung'])} Band {rng.randrange(1, 9)}"
         rec["PAGE"] = f"{rng.randrange(1, 300)}-{rng.randrange(300, 500)}"
         rec["MT"] = "Print"
         if rng.random() < 0.5:
@@ -293,8 +348,33 @@ def make_record(i: int, seed: int = 42) -> dict:
         if rng.random() < 0.3:
             rec["URN"] = f"urn:nbn:de:0168-ssoar-{rng.randrange(10000, 99999)}"
 
+    # URLI full-text / landing-page link (→ bf:electronicLocator on the
+    # locator instance); a few are junk that F3 rejects as not-a-url
+    if rng.random() < 0.3:
+        rec["URLI"] = (
+            f"https://psycharchives.example.org/fulltext/{rng.randrange(10 ** 6)}"
+            if rng.random() < 0.9
+            else "fulltext not available"
+        )
+
     if rng.random() < 0.15:
-        rec["PHIST"] = f"First published online |o {rng.randrange(1, 28)}.{rng.randrange(1, 12)}.{int(rec['PY']) - 1}"
+        y = int(rec["PY"]) - 1
+        phist_style = rng.random()
+        if phist_style < 0.5:
+            dv = f"{rng.randrange(1, 28)}.{rng.randrange(1, 12)}.{y}"
+        elif phist_style < 0.75:
+            # '27 Mar 2022' / '20 Dec 2021' style (records-440.xml)
+            mon = rng.choice(["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"])
+            dv = f"{rng.randrange(1, 28):02d} {mon} {y}"
+        elif phist_style < 0.9:
+            # 'MAR  2022' style: uppercase month, double space, no day
+            mon = rng.choice(["JAN", "MAR", "JUN", "OCT"])
+            dv = f"{mon}  {y}"
+        else:
+            # unsalvageable mess → the reference falls back to PY
+            dv = "n/a"
+        rec["PHIST"] = f"First published online |o {dv}"
 
     # --- thesis fields ---
     if be in ("SH", "SR") and rng.random() < 0.5:

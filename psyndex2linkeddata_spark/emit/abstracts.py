@@ -4,10 +4,11 @@ Reference: /root/reference/modules/abstract.py — get_bf_abstract (:128-245),
 get_bf_secondary_abstract (:246-321), add_abstract_licensing_note (:61-124),
 get_abstract_release (:324-334).
 
-Corpus note: the reference reads ASN1/ASN2 for the secondary abstract's
-origin; our corpus carries the secondary origin in ASH2 (same recode table),
-so ASH2 plays ASN1's role here. The primary's descriptionModifier (ASH2 in
-the reference) is therefore not emitted — documented deviation.
+Source/editor fields (abstract.py:198-231, 285-304): the primary
+abstract's origin comes from ASH1 (default "Original") with the optional
+editing agent in ASH2 (→ bf:descriptionModifier); the secondary
+abstract's origin from ASN1 with its editor in ASN2. All four run
+through the same F22 recode (replace_abstract_origin_string).
 """
 
 from __future__ import annotations
@@ -43,6 +44,7 @@ def _one_abstract(
     raw: Column,
     lang_field: Column,
     origin_field: Column,
+    editor_field: Column,
     *,
     secondary: bool,
 ) -> Column:
@@ -62,6 +64,9 @@ def _one_abstract(
     origin = F.when(
         origin_field.isNotNull(), abstract_origin(F.trim(origin_field))
     ).otherwise(F.lit("Original"))
+    # optional editing agent (ASH2/ASN2 → bf:descriptionModifier,
+    # abstract.py:219-231/297-304), same F22 recode as the origin
+    editor = F.when(editor_field.isNotNull(), abstract_origin(F.trim(editor_field)))
 
     blocked = _blocked()
     lic_node = F.when(lic["note"].isNotNull(), subfrag(node, "license"))
@@ -77,6 +82,7 @@ def _one_abstract(
         T(node, NS.RDFS_LABEL, body, lang=lang),
         typ(source_node, NS.BF + "AdminMetadata"),
         T(source_node, NS.BFLC + "metadataLicensor", origin),
+        T(source_node, NS.BF + "descriptionModifier", editor),
         T(
             source_node,
             NS.PXP + "blockedAbstract",
@@ -124,6 +130,7 @@ def abstracts() -> Column:
             F.col("ABH"),
             F.col("ABLH"),
             F.col("ASH1"),
+            F.col("ASH2"),
             secondary=False,
         ),
         when=primary_ok,
@@ -133,7 +140,8 @@ def abstracts() -> Column:
             frag(W(), "secondaryabstract"),
             F.col("ABN"),
             F.col("ABLN"),
-            F.col("ASH2"),
+            F.col("ASN1"),
+            F.col("ASN2"),
             secondary=True,
         ),
         when=secondary_ok,

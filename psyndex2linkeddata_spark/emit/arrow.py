@@ -57,6 +57,7 @@ from psyndex2linkeddata_spark.functions.licenses import (
 )
 from psyndex2linkeddata_spark.functions.text import _title_one
 from psyndex2linkeddata_spark.functions.trials import TRIAL_NUMBER_REGEXES
+from psyndex2linkeddata_spark.functions.urls import _PCT_UNSAFE
 from psyndex2linkeddata_spark.schema import (
     REPEATED_FIELDS,
     SCALAR_FIELDS,
@@ -193,18 +194,23 @@ def sanitize_country_name(s):
 
 
 def family_name(s):
+    """Reference contributions.py:286-293 — Python str.split(','), which
+    KEEPS trailing empties: 'X (nifbe),' → family 'X (nifbe)'."""
     if s is None:
         return None
     name = trim(s)
-    parts = jsplit(name, ",")
-    return trim(parts[0]) if len(parts) == 2 else name
+    parts = name.split(",")
+    return trim(parts[0]) if len(parts) >= 2 else name
 
 
 def given_name(s):
+    """Reference contributions.py:286-303 — given = segment after the
+    first comma ('' when it is a trailing comma); the no-comma except
+    branch yields givenname='' and the triple is STILL emitted."""
     if s is None:
         return None
-    parts = jsplit(trim(s), ",")
-    return trim(parts[1]) if len(parts) == 2 else None
+    parts = trim(s).split(",")
+    return trim(parts[1]) if len(parts) >= 2 else ""
 
 
 _EMAIL_RE = re.compile(r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$", re.A)
@@ -242,8 +248,9 @@ def split_pages_f(s):
         return (None, None, None, None)
     has_dash = "-" in s
     sp = s.split("-", 1)
-    first = trim(sp[0])
-    second = trim(sp[1]) if len(sp) > 1 else None
+    # no strip — reference keeps '164 ' from '164 -180'
+    first = sp[0]
+    second = sp[1] if len(sp) > 1 else None
     after_space = s.split(" ", 1)[1] if " " in s else None
     page_start = first if has_dash else None
     page_end = second if has_dash else None
@@ -323,6 +330,56 @@ def check_for_url_or_doi(s):
 
 _DATE_FORMATS = ("%Y-%m-%d", "%d.%m.%Y", "%Y/%m/%d", "%B %Y", "%d %B %Y", "%B %d, %Y")
 
+# dateparser-grade month-name handling (reference convert_starxml_to_bf.py
+# :336 feeds PHIST |o like '27 Mar 2022' / 'MAR  2022' to dateparser):
+# any-case English/German month names and their 3-letter abbreviations,
+# flexible whitespace; missing day resolves to 1 (deterministic stand-in
+# for dateparser's wall-clock-dependent PREFER_DAY_OF_MONTH default).
+_MONTH_NUM = {
+    m.lower(): i % 12 + 1
+    for i, m in enumerate(
+        [
+            "January", "February", "March", "April", "May", "June",
+            "July", "August", "September", "October", "November", "December",
+            "Januar", "Februar", "März", "April", "Mai", "Juni",
+            "Juli", "August", "September", "Oktober", "November", "Dezember",
+        ]
+    )
+}
+_MONTH_NUM.update({m[:3]: v for m, v in list(_MONTH_NUM.items())})
+
+
+def _safe_iso(year, month, day):
+    import datetime as dt
+
+    try:
+        return dt.date(year, month, day).isoformat()
+    except ValueError:
+        return None
+
+
+def _month_name_date(v):
+    """'d Month yyyy' / 'Month d, yyyy' / 'Month yyyy' → ISO or None."""
+    m = re.fullmatch(r"(\d{1,2})\.?\s+([A-Za-zäöüÄÖÜ]+),?\s+(\d{4})", v)
+    if m and m.group(2).lower() in _MONTH_NUM:
+        return _safe_iso(int(m.group(3)), _MONTH_NUM[m.group(2).lower()], int(m.group(1)))
+    m = re.fullmatch(r"([A-Za-zäöüÄÖÜ]+)\.?\s+(\d{1,2}),?\s+(\d{4})", v)
+    if m and m.group(1).lower() in _MONTH_NUM:
+        return _safe_iso(int(m.group(3)), _MONTH_NUM[m.group(1).lower()], int(m.group(2)))
+    m = re.fullmatch(r"([A-Za-zäöüÄÖÜ]+)\s+(\d{4})", v)
+    if m and m.group(1).lower() in _MONTH_NUM:
+        return _safe_iso(int(m.group(2)), _MONTH_NUM[m.group(1).lower()], 1)
+    return None
+
+
+def pct_quote(s):
+    """functions/urls.pct_quote twin — urllib.parse.quote for ASCII
+    strings, chained replaces over the same _PCT_UNSAFE list so both
+    paths share the non-ASCII pass-through deviation."""
+    for c in _PCT_UNSAFE:
+        s = s.replace(c, "%%%02X" % ord(c))
+    return s
+
 
 def parse_fuzzy_date(s):
     """F15 twin: date string 'YYYY-MM-DD' or None (format cascade)."""
@@ -342,7 +399,7 @@ def parse_fuzzy_date(s):
         except ValueError:
             continue
         return d.strftime("%Y-%m-%d")
-    return None
+    return _month_name_date(v)
 
 
 def date_or_year(date_s, *year_fallbacks):
@@ -446,8 +503,7 @@ _TRIAL_RES = [
     for rx, reg in TRIAL_NUMBER_REGEXES
 ]
 
-_TOC_RE = re.compile(r"^(.*)[-–]\s*(Contents|Inhalt):\s*(.*)$", re.S | re.A)
-_TOC_URL_RE = re.compile(r"^https?://\S+$", re.A)
+_TOC_RE = re.compile(r"^(.*)[-–]\s*(Contents|Inhalt)\s*:\s*(.*)$", re.A)
 _DEEPL_RE = re.compile(r"^(.*)\s\((translated by DeepL)\)$", re.I | re.S | re.A)
 _COPYRIGHT_RE = re.compile(r"^(.*)(\(c\).*)$", re.I | re.S | re.A)
 _B_LIST_RE = re.compile(r"^.*\(b\).*$", re.I | re.S | re.A)
@@ -462,7 +518,8 @@ def split_toc(s):
     if not m:
         return (s, None, False)
     toc = trim(m.group(3))
-    return (trim(m.group(1)), toc, bool(toc and _TOC_URL_RE.search(toc)))
+    # reference abstract.py:160: URL iff startswith "http"
+    return (trim(m.group(1)), toc, bool(toc and toc.startswith("http")))
 
 
 def split_licensing_note(s):
@@ -570,7 +627,8 @@ def contributions_of(rec):
         return "middle"
 
     # J9/J10 fuzzy tier (reference direction: per id field -> first
-    # partial_ratio>80 person contribution; later fields overwrite)
+    # partial_ratio>80 person contribution; fields matching the same
+    # position accumulate rdf:values on the shared id node)
     from psyndex2linkeddata_spark.functions.fuzzy_names import match_ids_to_positions
 
     person_names = []
@@ -581,9 +639,13 @@ def contributions_of(rec):
         [(mainfield(e), subfield(e, "u")) for e in rec.get("ORCID") or []],
         person_names,
     )
+    # the kerndaten alternate-name fallback (J9 second tier) reads the
+    # per-record resolution map the broadcast authority join attaches
+    # as `_kerndaten` ({paup_id: [alternate name, ...]})
     paup_by_pos = match_ids_to_positions(
         [(mainfield(e), subfield(e, "n")) for e in rec.get("PAUP") or []],
         person_names,
+        alternates=rec.get("_kerndaten"),
     )
 
     emid_main = mainfield(rec.get("EMID"))
@@ -632,8 +694,12 @@ def contributions_of(rec):
                 role=contribution_role(s, rec),
                 org=org,
                 country=country,
-                orcid=clean_orcid(orcid_by_pos.get(pos)),
-                paup_id=paup_by_pos.get(pos),
+                orcids=[
+                    c
+                    for c in (clean_orcid(o) for o in orcid_by_pos.get(pos, []))
+                    if c is not None
+                ],
+                paup_ids=paup_by_pos.get(pos, []),
                 email=email,
             )
         )
@@ -650,8 +716,8 @@ def contributions_of(rec):
                 role=contribution_role(s, rec),
                 org=None,
                 country=subfield(s, "c"),
-                orcid=None,
-                paup_id=None,
+                orcids=[],
+                paup_ids=[],
                 email=None,
             )
         )
@@ -678,11 +744,12 @@ def instances_of(rec):
     return insts
 
 
-def locator_instance_n(insts):
+def locator_instance_ns(insts):
+    """A8 twin: ALL target instance n's — the single instance, else
+    every Online one (reference loops without breaking)."""
     if len(insts) == 1:
-        return insts[0]["n"]
-    online = [i for i in insts if i["mediacarrier"] == "Online"]
-    return online[0]["n"] if online else None
+        return [insts[0]["n"]]
+    return [i["n"] for i in insts if i["mediacarrier"] == "Online"]
 
 
 def rel_citation(s):
@@ -858,7 +925,7 @@ def emit_titles(g, rec, B):
         main = trim(rec["TI"])
         main_lang = lang_or_guess(rec.get("TIL"), main)
         sub = trim(rec.get("TIU"))
-        sub_lang = guess_language(sub)
+        sub_lang = lang_or_guess(rec.get("TIUL"), sub)
         fulltitle = (
             concat(main, ". ", sub) if rec.get("TIU") is not None else main
         )
@@ -913,12 +980,9 @@ def emit_identifiers(g, rec, B, insts, doi_checked):
     g.add(dfk_node, NS.RDF + "value", dfk)
     g.add(B, NS.BF + "identifiedBy", dfk_node, iri=True)
 
+    # PU |i/|e ONLY (reference add_isbns reads no standalone ISBN field)
     isbn_print = subfield(rec.get("PU"), "i")
-    if isbn_print is None and rec.get("ISBN") is not None:
-        isbn_print = trim(rec["ISBN"])
     isbn_ebook = subfield(rec.get("PU"), "e")
-    if isbn_ebook is None and rec.get("EISBN") is not None:
-        isbn_ebook = trim(rec["EISBN"])
     if isbn_print is not None:
         node = B + "#isbn_print"
         g.add(B, NS.BF + "identifiedBy", node, iri=True)
@@ -932,11 +996,17 @@ def emit_identifiers(g, rec, B, insts, doi_checked):
 
     doi = doi_checked[0] if doi_checked[1] == "doi" else None
     urn = nullif_empty(rec.get("URN"))
-    target_n = locator_instance_n(insts)
-    if target_n is not None:
+    urli = None
+    if rec.get("URLI") is not None:
+        v, t = check_for_url_or_doi(trim(rec["URLI"]))
+        if t == "url":
+            urli = v
+    for target_n in locator_instance_ns(insts):
         target = f"{NS.INSTANCES}{dfk}#{target_n}"
         if doi is not None:
-            doi_node = "https://doi.org/" + doi
+            # node URI percent-encoded (reference identifiers.py:28
+            # urllib.parse.quote); the rdf:value stays the raw DOI
+            doi_node = "https://doi.org/" + pct_quote(doi)
             g.add(doi_node, NS.RDF_TYPE, NS.BF + "Doi", iri=True)
             g.add(doi_node, NS.RDF + "value", doi)
             g.add(target, NS.BF + "identifiedBy", doi_node, iri=True)
@@ -944,11 +1014,17 @@ def emit_identifiers(g, rec, B, insts, doi_checked):
             g.add(urn, NS.RDF_TYPE, NS.BF + "Urn", iri=True)
             g.add(urn, NS.RDF + "value", urn)
             g.add(target, NS.BF + "identifiedBy", urn, iri=True)
+        if urli is not None:
+            # direct bf:electronicLocator URI (identifiers.py:82-89)
+            g.add(target, NS.BF + "electronicLocator", urli, iri=True)
 
 
 def emit_publication(g, rec, B):
     node = B + "_publication"
-    value, dt_kind = date_or_year(subfield(rec.get("PHIST"), "o"), rec.get("PY"))
+    value, _kind = date_or_year(subfield(rec.get("PHIST"), "o"))
+    if value is None:
+        # reference PY fallback is the RAW text, typed purely by length
+        value = nullif_empty(rec.get("PY"))
     publisher = subfield(rec.get("PU"), "v")
     place = subfield(rec.get("PU"), "o")
     g.add(B, NS.BF + "provisionActivity", node, iri=True)
@@ -958,7 +1034,7 @@ def emit_publication(g, rec, B):
             node,
             NS.BF + "date",
             value,
-            dtype=NS.XSD_DATE if dt_kind == "date" else NS.XSD_GYEAR,
+            dtype=NS.XSD_DATE if len(value) > 4 else NS.XSD_GYEAR,
         )
         g.add(node, NS.BFLC + "simpleDate", value[:4])
     g.add(node, NS.BFLC + "simpleAgent", publisher)
@@ -1022,16 +1098,18 @@ def emit_contributions(g, rec, W, contribs):
         if is_person:
             g.add(agent, NS.SCHEMA + "familyName", c["family"])
             g.add(agent, NS.SCHEMA + "givenName", c["given"])
-        if c["orcid"] is not None:
+        if c["orcids"]:
             onode = agent + "_orcid"
             g.add(agent, NS.BF + "identifiedBy", onode, iri=True)
             g.add(onode, NS.RDF_TYPE, NS.LOCID + "orcid", iri=True)
-            g.add(onode, NS.RDF + "value", c["orcid"])
-        if c["paup_id"] is not None:
+            for v in c["orcids"]:
+                g.add(onode, NS.RDF + "value", v)
+        if c["paup_ids"]:
             pnode = agent + "_psychauthorsid"
             g.add(agent, NS.BF + "identifiedBy", pnode, iri=True)
             g.add(pnode, NS.RDF_TYPE, NS.PXC + "PsychAuthorsID", iri=True)
-            g.add(pnode, NS.RDF + "value", c["paup_id"])
+            for v in c["paup_ids"]:
+                g.add(pnode, NS.RDF + "value", v)
         emit_affiliation(g, c["org"], c["country"], cnode, agent)
 
 
@@ -1042,7 +1120,7 @@ def _blocked(rec):
 _NO_ABSTRACT_RE = re.compile(r"(no abstract|kein Abstract)", re.I | re.A)
 
 
-def emit_abstract(g, rec, W, field, lang_field, origin_field, secondary):
+def emit_abstract(g, rec, W, field, lang_field, origin_field, editor_field, secondary):
     raw = rec.get(field)
     if raw is None:
         return
@@ -1068,6 +1146,13 @@ def emit_abstract(g, rec, W, field, lang_field, origin_field, secondary):
     g.add(node, NS.RDFS_LABEL, body, lang=lang)
     g.add(source_node, NS.RDF_TYPE, NS.BF + "AdminMetadata", iri=True)
     g.add(source_node, NS.BFLC + "metadataLicensor", origin)
+    if rec.get(editor_field) is not None:
+        # ASH2/ASN2 editing agent (abstract.py:219-231/297-304), F22 recode
+        g.add(
+            source_node,
+            NS.BF + "descriptionModifier",
+            abstract_origin(trim(rec[editor_field])),
+        )
     g.add(
         source_node,
         NS.PXP + "blockedAbstract",
@@ -1285,11 +1370,11 @@ def emit_conferences(g, rec, W):
         g.add(meeting, NS.BFLC + "simpleDate", year)
         g.add(meeting, NS.BFLC + "simplePlace", place)
         if note is not None:
-            # NB: the Column spec (emit/funding.py conferences) types and
-            # labels the note node but never wires (cr, bf:note, node)
             note_node = cr + "_note"
             g.add(note_node, NS.RDF_TYPE, NS.BF + "Note", iri=True)
             g.add(note_node, NS.RDFS_LABEL, note)
+            # reference build_note_node wires the edge too
+            g.add(cr, NS.BF + "note", note_node, iri=True)
         g.add(cr, NS.BF + "role", _RELATORS + "ctb", iri=True)
         g.add(W, NS.BF + "contribution", cr, iri=True)
 
@@ -1633,6 +1718,14 @@ def emit_book(g, rec, B):
         g.add(target, NS.RDF_TYPE, NS.PXC + "InstanceBundle", iri=True)
     else:
         g.add(book, NS.RDF_TYPE, NS.BFLC + "Uncontrolled", iri=True)
+    bip = nullif_empty(rec.get("BIP"))
+    if bip is not None:
+        # BIP book title — always exported, even alongside the SSDFK link
+        # (instance_sources.py:404-410)
+        btitle = book + "_title"
+        g.add(btitle, NS.RDF_TYPE, NS.BF + "Title", iri=True)
+        g.add(btitle, NS.BF + "mainTitle", bip)
+        g.add(book, NS.BF + "title", btitle, iri=True)
     g.add(rel, NS.PXP + "pageStart", ps)
     g.add(rel, NS.PXP + "pageEnd", pe)
     g.add(B, NS.PXP + "extent", extent)
@@ -1722,8 +1815,8 @@ def record_triples(rec: dict, sink: Sink | None = None, annif: bool = True):
     emit_identifiers(g, rec, B, insts, doi_checked)
     emit_publication(g, rec, B)
     emit_contributions(g, rec, W, contribs)
-    emit_abstract(g, rec, W, "ABH", "ABLH", "ASH1", secondary=False)
-    emit_abstract(g, rec, W, "ABN", "ABLN", "ASH2", secondary=True)
+    emit_abstract(g, rec, W, "ABH", "ABLH", "ASH1", "ASH2", secondary=False)
+    emit_abstract(g, rec, W, "ABN", "ABLN", "ASN1", "ASN2", secondary=True)
     emit_terms(g, rec, W)
     emit_genres(g, rec, W, B, annif=annif)
     emit_funding(g, rec, W)
@@ -1766,7 +1859,7 @@ def parse_page_text(text: str) -> dict:
     return rec
 
 
-_RES_COLS = ("_rplic_res", "_rel_res", "_testg_res")
+_RES_COLS = ("_rplic_res", "_rel_res", "_testg_res", "_kerndaten")
 
 
 def emit_triples_arrow(df, bad_dfks: frozenset | None = None, annif: bool = True):

@@ -107,8 +107,10 @@ def contributions() -> Column:
     RE→IVR/ED — extract_contribution_role, resolved in normalize}
     (graph.set site → single value), agent node _personagent a bf:Person
     (label, schema names, _orcid a locid:orcid, _psychauthorsid a
-    pxc:PsychAuthorsID) or _orgagent a bf:Organization; mads:email
-    mailto IRI on the contribution node.
+    pxc:PsychAuthorsID — one node per agent, one rdf:value per matched
+    id field: the reference graph.add's values, so several PAUP/ORCID
+    fields matching the same agent accumulate) or _orgagent a
+    bf:Organization; mads:email mailto IRI on the contribution node.
     """
 
     def one(c: Column) -> Column:
@@ -117,8 +119,10 @@ def contributions() -> Column:
         agent = F.when(is_person, subfrag(cnode, "personagent")).otherwise(
             subfrag(cnode, "orgagent")
         )
-        orcid_node = F.when(c["orcid"].isNotNull(), subfrag(agent, "orcid"))
-        paup_node = F.when(c["paup_id"].isNotNull(), subfrag(agent, "psychauthorsid"))
+        has_orcid = F.size(c["orcids"]) > 0
+        has_paup = F.size(c["paup_ids"]) > 0
+        orcid_node = F.when(has_orcid, subfrag(agent, "orcid"))
+        paup_node = F.when(has_paup, subfrag(agent, "psychauthorsid"))
         base = F.array(
             T(W(), NS.BF + "contribution", cnode, iri=True),
             T(cnode, NS.RDF_TYPE, NS.BF + "Contribution", iri=True),
@@ -149,15 +153,23 @@ def contributions() -> Column:
             T(agent, NS.RDFS_LABEL, c["name"]),
             T(agent, NS.SCHEMA + "familyName", F.when(is_person, c["family"])),
             T(agent, NS.SCHEMA + "givenName", F.when(is_person, c["given"])),
-            # ORCID identifier (J10 exact tier resolved in normalize)
+            # ORCID identifier (J10, resolved in normalize)
             T(agent, NS.BF + "identifiedBy", orcid_node, iri=True),
             T(orcid_node, NS.RDF_TYPE, NS.LOCID + "orcid", iri=True),
-            T(orcid_node, NS.RDF + "value", c["orcid"]),
-            # PsychAuthors identifier (J9 exact tier)
+            # PsychAuthors identifier (J9)
             T(agent, NS.BF + "identifiedBy", paup_node, iri=True),
             T(paup_node, NS.RDF_TYPE, NS.PXC + "PsychAuthorsID", iri=True),
-            T(paup_node, NS.RDF + "value", c["paup_id"]),
         )
-        return F.concat(base, _affiliation_triples(c, cnode, agent))
+        # one rdf:value per matched id field (reference graph.add)
+        id_values = F.concat(
+            F.transform(
+                c["orcids"], lambda v: T(subfrag(agent, "orcid"), NS.RDF + "value", v)
+            ),
+            F.transform(
+                c["paup_ids"],
+                lambda v: T(subfrag(agent, "psychauthorsid"), NS.RDF + "value", v),
+            ),
+        )
+        return F.concat(base, id_values, _affiliation_triples(c, cnode, agent))
 
     return pack_arr(F.flatten(F.transform(F.col("contribs"), one)))

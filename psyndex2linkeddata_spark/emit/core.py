@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 from psyndex2linkeddata_spark import namespaces as NS
-from psyndex2linkeddata_spark.emit.base import T, cleaned, frag, instance_uri, pack, subfield, typ
+from psyndex2linkeddata_spark.emit.base import T, cleaned, frag, instance_uri, pack, pack_arr, subfield, typ
 from psyndex2linkeddata_spark.functions.cleaning import (nullif_empty)
 from psyndex2linkeddata_spark.functions.dates import date_or_year
 from psyndex2linkeddata_spark.functions.lang import (
@@ -20,6 +20,7 @@ from psyndex2linkeddata_spark.functions.lang import (
     langtag3,
 )
 from psyndex2linkeddata_spark.functions.text import parse_translated_title
+from psyndex2linkeddata_spark.functions.urls import pct_quote
 
 def W():
     return F.col("work")
@@ -83,8 +84,9 @@ def titles() -> Column:
     main = cleaned(F.trim(F.col("TI")))
     main_lang = _lang_or_guess(F.col("TIL"), main)
     sub = cleaned(F.trim(F.col("TIU")))
-    # no TIUL field in the corpus → reference falls back to guessing
-    sub_lang = guess_language(sub)
+    # TIUL language name when present/known, else guess (reference
+    # convert_starxml_to_bf.py:643-651)
+    sub_lang = _lang_or_guess(F.col("TIUL"), sub)
     fulltitle = F.when(
         F.col("TIU").isNotNull(), F.concat(main, F.lit(". "), sub)
     ).otherwise(main)
@@ -159,40 +161,61 @@ def instances() -> Column:
     return F.flatten(F.transform(F.col("instances"), one))
 
 
-def locator_instance_n() -> Column:
-    """A8 (/root/reference/convert_starxml_to_bf.py:1466-1503): the instance
-    that receives DOI/URL/URN — the only instance when there is one, else the
-    pmt:Online one; NULL when several instances but none Online (the
-    reference drops the ids in that case too)."""
+def locator_instance_ns() -> Column:
+    """A8 (/root/reference/convert_starxml_to_bf.py:1466-1503): the
+    instances that receive DOI/URL/URN — the only instance when there is
+    one, else EVERY pmt:Online instance (the reference loops over all
+    instances without breaking); empty when several instances but none
+    Online (the reference drops the ids in that case too)."""
     insts = F.col("instances")
     online = F.filter(insts, lambda i: i["mediacarrier"] == "Online")
-    return F.when(F.size(insts) == 1, F.element_at(insts, 1)["n"]).when(
-        F.size(online) > 0, F.element_at(online, 1)["n"]
-    )
+    ns_of = lambda arr: F.transform(arr, lambda i: i["n"])  # noqa: E731
+    return F.when(F.size(insts) == 1, ns_of(insts)).otherwise(ns_of(online))
 
 
 def identifiers() -> Column:
     """N17 (/root/reference/modules/identifiers.py:23-102, convert_starxml_
     to_bf.py:364-429,1460-1503): DFK node bundle+'_dfk' a pxc:DFK; ISBNs from
-    PU |i/|e (engine extension: standalone ISBN/EISBN fields too) as
-    bundle#isbn_print / #isbn_ebook a bf:Isbn; DOI (validated via F3) as
-    node https://doi.org/{doi} a bf:Doi and URN (node = the urn string)
-    a bf:Urn on the A8 target instance."""
+    PU |i/|e ONLY (add_isbns reads no standalone field) as
+    bundle#isbn_print / #isbn_ebook a bf:Isbn; on the A8 target instance:
+    DOI (validated via F3) as node https://doi.org/{quote(doi)} a bf:Doi
+    (identifiers.py:28 percent-encodes the DOI into the node URI; the
+    rdf:value stays raw), URN (node = the urn string) a bf:Urn, and URLI
+    (F3-validated as url) directly as bf:electronicLocator
+    (identifiers.py:82-89 — bare URI, no intermediary node)."""
     dfk_node = F.concat(B(), F.lit("_dfk"))
-    isbn_print = F.coalesce(subfield(F.col("PU"), "i"), cleaned(F.trim(F.col("ISBN"))))
-    isbn_ebook = F.coalesce(subfield(F.col("PU"), "e"), cleaned(F.trim(F.col("EISBN"))))
+    isbn_print = subfield(F.col("PU"), "i")
+    isbn_ebook = subfield(F.col("PU"), "e")
     isbn_p_node = frag(B(), "isbn_print")
     isbn_e_node = frag(B(), "isbn_ebook")
 
     checked = F.col("doi_checked")
     doi = F.when(checked["type"] == "doi", checked["value"])
-    doi_node = F.concat(F.lit("https://doi.org/"), doi)
+    doi_node = F.concat(F.lit("https://doi.org/"), pct_quote(doi))
     urn = nullif_empty(F.col("URN"))
-    target_n = locator_instance_n()
-    target = instance_uri(F.col("DFK"), target_n)
-    has_target = target_n.isNotNull()
-
-    return pack(
+    urli_checked = F.col("urli_checked")
+    urli = F.when(urli_checked["type"] == "url", urli_checked["value"])
+    targets = F.transform(
+        locator_instance_ns(), lambda n: instance_uri(F.col("DFK"), n)
+    )
+    # DOI / URN / URLI on every A8 target instance
+    per_target = pack_arr(
+        F.flatten(
+            F.transform(
+                targets,
+                lambda target: F.array(
+                    T(F.when(doi.isNotNull(), doi_node), NS.RDF_TYPE, NS.BF + "Doi", iri=True),
+                    T(F.when(doi.isNotNull(), doi_node), NS.RDF + "value", doi),
+                    T(F.when(doi.isNotNull(), target), NS.BF + "identifiedBy", doi_node, iri=True),
+                    T(F.when(urn.isNotNull(), urn), NS.RDF_TYPE, NS.BF + "Urn", iri=True),
+                    T(F.when(urn.isNotNull(), urn), NS.RDF + "value", urn),
+                    T(F.when(urn.isNotNull(), target), NS.BF + "identifiedBy", urn, iri=True),
+                    T(F.when(urli.isNotNull(), target), NS.BF + "electronicLocator", urli, iri=True),
+                ),
+            )
+        )
+    )
+    return F.concat(pack(
         typ(dfk_node, NS.PXC + "DFK"),
         T(dfk_node, NS.RDF + "value", F.col("DFK")),
         T(B(), NS.BF + "identifiedBy", dfk_node, iri=True),
@@ -204,35 +227,31 @@ def identifiers() -> Column:
         T(B(), NS.BF + "identifiedBy", F.when(isbn_ebook.isNotNull(), isbn_e_node), iri=True),
         T(F.when(isbn_ebook.isNotNull(), isbn_e_node), NS.RDF_TYPE, NS.BF + "Isbn", iri=True),
         T(isbn_e_node, NS.RDF + "value", isbn_ebook),
-        # doi on target instance
-        T(F.when(has_target, F.when(doi.isNotNull(), doi_node)), NS.RDF_TYPE, NS.BF + "Doi", iri=True),
-        T(doi_node, NS.RDF + "value", F.when(has_target, doi)),
-        T(F.when(doi.isNotNull(), target), NS.BF + "identifiedBy", doi_node, iri=True),
-        # urn on target instance
-        T(F.when(has_target, urn), NS.RDF_TYPE, NS.BF + "Urn", iri=True),
-        T(F.when(has_target, urn), NS.RDF + "value", urn),
-        T(F.when(urn.isNotNull(), target), NS.BF + "identifiedBy", urn, iri=True),
-    )
+    ), per_target)
 
 
 def publication() -> Column:
     """N18 (/root/reference/convert_starxml_to_bf.py:318-361,457-515):
     bundle_publication a bf:Publication on bf:provisionActivity; bf:date
-    from PHIST |o (parsed) typed xsd:date + simpleDate year, else PY typed
-    xsd:gYear + simpleDate; simpleAgent from PU |v; simplePlace from PU |o."""
+    from PHIST |o (parsed → YYYY-MM-DD), else the RAW PY text — the
+    reference does no validation on the PY fallback ('10/2017' is
+    emitted verbatim) and types purely by length (>4 chars → xsd:date
+    else xsd:gYear), with simpleDate = first 4 chars; simpleAgent from
+    PU |v; simplePlace from PU |o."""
     node = F.concat(B(), F.lit("_publication"))
-    d = date_or_year(subfield(F.col("PHIST"), "o"), F.col("PY"))
+    phist = date_or_year(subfield(F.col("PHIST"), "o"))
+    value = F.coalesce(phist["value"], nullif_empty(F.col("PY")))
     publisher = subfield(F.col("PU"), "v")
     place = subfield(F.col("PU"), "o")
-    year = F.substring(d["value"], 1, 4)
+    year = F.substring(value, 1, 4)
     return pack(
         T(B(), NS.BF + "provisionActivity", node, iri=True),
         typ(node, NS.BF + "Publication"),
         T(
             node,
             NS.BF + "date",
-            d["value"],
-            dtype=F.when(d["dtype"] == "date", F.lit(NS.XSD_DATE)).otherwise(
+            value,
+            dtype=F.when(F.length(value) > 4, F.lit(NS.XSD_DATE)).otherwise(
                 F.lit(NS.XSD_GYEAR)
             ),
         ),

@@ -107,6 +107,9 @@ def conferences() -> Column:
             T(meeting, NS.BFLC + "simplePlace", place),
             T(note_node, NS.RDF_TYPE, NS.BF + "Note", iri=True),
             T(note_node, NS.RDFS_LABEL, note),
+            # the reference hangs the note onto the reference node
+            # (helpers.build_note_node: resource bf:note _note)
+            T(cr, NS.BF + "note", note_node, iri=True),
             T(cr, NS.BF + "role", RELATORS + "ctb", iri=True),
             T(W(), NS.BF + "contribution", cr, iri=True),
         )

@@ -28,20 +28,27 @@ def _norm_name(c: Column) -> Column:
     return F.lower(F.trim(c))
 
 
-def contrib_id_cols() -> dict[str, Column]:
+def contrib_id_cols(with_kerndaten: bool = False) -> dict[str, Column]:
     """J9/J10 pre-materialized match columns: `_aup_orcids` /
     `_aup_paups` are arrays aligned with AUP positions carrying the
-    matched ORCID |u / PAUP |n id (NULL = no match). The reference's
+    LIST of matched ORCID |u / PAUP |n ids in field order (NULL = no
+    match; several fields matching one agent accumulate — the reference
+    graph.add's each rdf:value onto the shared id node). The reference's
     matcher is fuzz.partial_ratio > 80 over F9-normalized names
     (contributions.py:408-576) — genuinely procedural, so the shared
     kernel (functions/fuzzy_names.py, same one the Arrow emitter calls)
     runs in an Arrow pandas UDF here; like `_testg_longs`, the columns
     are materialized in their own projection because pandas UDFs can't
-    sit inside higher-order-function lambdas."""
+    sit inside higher-order-function lambdas.
+
+    `with_kerndaten`: feed the per-record `_kerndaten` resolution map
+    (paup_id → alternate names, attached by the broadcast authority
+    join in plans/pipeline.py) into the PAUP matcher's fallback tier
+    (contributions.py:456-498)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def make(sub: str):
+    def make(sub: str, with_alts: bool = False):
         # no type annotations: pandas_udf's hint inference can't resolve
         # the function-local `pd` import; the returnType string suffices
         def fn(df):
@@ -51,9 +58,20 @@ def contrib_id_cols() -> dict[str, Column]:
             )
 
             out = []
-            for aup, ids in zip(df["aup"], df["ids"]):
+            alts_col = df["alts"] if with_alts else None
+            for j, (aup, ids) in enumerate(zip(df["aup"], df["ids"])):
                 aup_l = list(aup) if aup is not None else []
                 ids_l = list(ids) if ids is not None else []
+                alternates = None
+                if alts_col is not None:
+                    a = alts_col.iloc[j]
+                    if isinstance(a, dict):
+                        alternates = a
+                    elif a is not None and not (
+                        isinstance(a, float) and pd.isna(a)
+                    ):
+                        # Arrow map cells arrive as [(k, v), ...]
+                        alternates = dict(a)
                 persons = []
                 for i, s in enumerate(aup_l):
                     nm = A.mainfield(s)
@@ -61,23 +79,25 @@ def contrib_id_cols() -> dict[str, Column]:
                 m = match_ids_to_positions(
                     [(A.mainfield(e), A.subfield(e, sub)) for e in ids_l],
                     persons,
+                    alternates=alternates,
                 )
                 out.append([m.get(i + 1) for i in range(len(aup_l))])
             return pd.Series(out)
 
-        return pandas_udf(fn, "array<string>")
+        return pandas_udf(fn, "array<array<string>>")
 
-    def pair(ids_field: str, sub: str) -> Column:
-        return make(sub)(
-            F.struct(
-                F.coalesce(F.col("AUP"), F.array()).alias("aup"),
-                F.coalesce(F.col(ids_field), F.array()).alias("ids"),
-            )
-        )
+    def pair(ids_field: str, sub: str, with_alts: bool = False) -> Column:
+        fields = [
+            F.coalesce(F.col("AUP"), F.array()).alias("aup"),
+            F.coalesce(F.col(ids_field), F.array()).alias("ids"),
+        ]
+        if with_alts:
+            fields.append(F.col("_kerndaten").alias("alts"))
+        return make(sub, with_alts)(F.struct(*fields))
 
     return {
         "_aup_orcids": pair("ORCID", "u"),
-        "_aup_paups": pair("PAUP", "n"),
+        "_aup_paups": pair("PAUP", "n", with_alts=with_kerndaten),
     }
 
 
@@ -172,8 +192,17 @@ def contributions_col(df: DataFrame) -> Column:
                 own_country,
                 F.when(cs_applies, cleaned(nullif_empty(F.col("COU")))),
             ).alias("country"),
-            clean_orcid(F.try_element_at(F.col("_aup_orcids"), pos)).alias("orcid"),
-            F.try_element_at(F.col("_aup_paups"), pos).alias("paup_id"),
+            F.filter(
+                F.transform(
+                    F.coalesce(F.try_element_at(F.col("_aup_orcids"), pos), F.array()),
+                    clean_orcid,
+                ),
+                lambda v: v.isNotNull(),
+            ).alias("orcids"),
+            F.coalesce(
+                F.try_element_at(F.col("_aup_paups"), pos),
+                F.array().cast("array<string>"),
+            ).alias("paup_ids"),
             F.coalesce(email_by_name, email_fallback).alias("email"),
         )
 
@@ -190,8 +219,8 @@ def contributions_col(df: DataFrame) -> Column:
             role(s).alias("role"),
             F.lit(None).cast("string").alias("org"),
             subfield(s, "c").alias("country"),
-            F.lit(None).cast("string").alias("orcid"),
-            F.lit(None).cast("string").alias("paup_id"),
+            F.array().cast("array<string>").alias("orcids"),
+            F.array().cast("array<string>").alias("paup_ids"),
             F.lit(None).cast("string").alias("email"),
         )
 
@@ -361,6 +390,7 @@ def relation_mentions() -> dict[str, Column]:
         ),
     )
     doi_checked = _checked(F.col("DOI"))
+    urli_checked = _checked(F.trim(F.col("URLI")))
     return {
         "datac_ids": datac_ids,
         "urlai_ids": urlai_ids,
@@ -369,6 +399,7 @@ def relation_mentions() -> dict[str, Column]:
         "rel_parsed": rel_parsed,
         "testg_parsed": testg_parsed_col(),
         "doi_checked": doi_checked,
+        "urli_checked": urli_checked,
     }
 
 
@@ -463,13 +494,14 @@ def normalize(records: DataFrame) -> DataFrame:
     """
     from psyndex2linkeddata_spark.plans.pipeline import _memo
 
+    kern = "_kerndaten" in records.columns
     cols = _memo(
-        "normalize_columns",
+        f"normalize_columns_kern={kern}",
         lambda: {
             "work": work_uri(F.col("DFK")),
             "bundle": bundle_uri(F.col("DFK")),
             **testg_longs_cols(),
-            **contrib_id_cols(),
+            **contrib_id_cols(with_kerndaten=kern),
             "contribs": contributions_col(records),
             "instances": instances_col(records),
             **relation_mentions(),

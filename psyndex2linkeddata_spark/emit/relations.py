@@ -556,12 +556,17 @@ def book_relation() -> Column:
     """N19 book / J19 (instance_sources.py:339-428 + P8 gate
     convert_starxml_to_bf.py:1383): chapters (BE US/UR) get bundle#bookrel
     → _book a pxc:InstanceBundle, owl:sameAs instancebundles:{SSDFK} when
-    known else bflc:Uncontrolled; pageStart/pageEnd/extent + article no."""
+    known else bflc:Uncontrolled; BIP (superordinate book title) always
+    exported as _book_title a bf:Title / bf:mainTitle
+    (instance_sources.py:404-410 — even when the SSDFK link exists);
+    pageStart/pageEnd/extent + article no."""
     is_chapter = F.trim(F.coalesce(F.col("BE"), F.lit(""))).isin("US", "UR")
     rel = F.concat(B(), F.lit("#bookrel"))
     book = F.concat(rel, F.lit("_book"))
     ssdfk = nullif_empty(F.col("SSDFK"))
     target = F.concat(F.lit(NS.INSTANCEBUNDLES), ssdfk)
+    bip = nullif_empty(F.col("BIP"))
+    btitle = F.concat(book, F.lit("_title"))
     pages = split_pages(F.trim(F.col("PAGE")))
     art_node = F.concat(rel, F.lit("_article_number"))
     return pack(
@@ -572,6 +577,10 @@ def book_relation() -> Column:
         T(book, NS.OWL + "sameAs", target, iri=True),
         T(F.when(ssdfk.isNotNull(), target), NS.RDF_TYPE, NS.PXC + "InstanceBundle", iri=True),
         T(F.when(ssdfk.isNull(), book), NS.RDF_TYPE, NS.BFLC + "Uncontrolled", iri=True),
+        # BIP → book title (always, even alongside an SSDFK owl:sameAs)
+        T(F.when(bip.isNotNull(), btitle), NS.RDF_TYPE, NS.BF + "Title", iri=True),
+        T(btitle, NS.BF + "mainTitle", bip),
+        T(F.when(bip.isNotNull(), book), NS.BF + "title", btitle, iri=True),
         T(rel, NS.PXP + "pageStart", pages["page_start"]),
         T(rel, NS.PXP + "pageEnd", pages["page_end"]),
         T(B(), NS.PXP + "extent", pages["extent"]),

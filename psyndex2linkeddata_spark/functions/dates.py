@@ -51,7 +51,53 @@ def parse_fuzzy_date(col: Column) -> Column:
         ),
     ).otherwise(s)
     attempts = [F.try_to_timestamp(s, F.lit(fmt)).cast("date") for fmt in _FORMATS]
-    return F.coalesce(*attempts)
+    return F.coalesce(*attempts, _month_name_date(s))
+
+
+_MONTH_NUM = {
+    m.lower(): i % 12 + 1
+    for i, m in enumerate(
+        [
+            "January", "February", "March", "April", "May", "June",
+            "July", "August", "September", "October", "November", "December",
+            "Januar", "Februar", "März", "April", "Mai", "Juni",
+            "Juli", "August", "September", "Oktober", "November", "Dezember",
+        ]
+    )
+}
+_MONTH_NUM.update({m[:3]: v for m, v in list(_MONTH_NUM.items())})
+
+
+def _month_name_date(s: Column) -> Column:
+    """dateparser-grade month-name forms the strict cascade misses
+    ('27 Mar 2022', 'MAR  2022', 'Oktober 2021'): any-case English/
+    German names + 3-letter abbreviations, flexible whitespace, missing
+    day → 1. Entirely native: regexp extract + map lookup + try_to_date
+    (invalid day combos like '31 Feb' fall out as NULL)."""
+    w = F.regexp_replace(s, r"\s+", " ")
+    pairs = []
+    for k, v in _MONTH_NUM.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    month_map = F.create_map(*pairs)
+
+    def attempt(pattern: str, gy: int, gm: int, gd) -> Column:
+        day = F.regexp_extract(w, pattern, gd) if gd else F.lit("1")
+        tok = F.lower(F.regexp_extract(w, pattern, gm))
+        year = F.regexp_extract(w, pattern, gy)
+        mo = F.try_element_at(month_map, tok)
+        return F.when(
+            (F.length(year) > 0) & mo.isNotNull(),
+            F.try_to_timestamp(
+                F.format_string("%s-%s-%s", year, mo.cast("string"), day),
+                F.lit("yyyy-M-d"),
+            ).cast("date"),
+        )
+
+    return F.coalesce(
+        attempt(r"^(\d{1,2})\.? ([A-Za-zäöüÄÖÜ]+),? (\d{4})$", 3, 2, 1),
+        attempt(r"^([A-Za-zäöüÄÖÜ]+)\.? (\d{1,2}),? (\d{4})$", 3, 1, 2),
+        attempt(r"^([A-Za-zäöüÄÖÜ]+) (\d{4})$", 2, 1, None),
+    )
 
 
 def date_or_year(date_col: Column, *year_fallbacks: Column) -> Column:

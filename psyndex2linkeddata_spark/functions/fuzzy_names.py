@@ -5,8 +5,11 @@ match_paups_to_contribution_nodes (:408-498) and
 match_orcids_to_contribution_nodes (:500-576): for EACH id field (PAUP /
 ORCID), scan the work's person contributions in order and attach the id
 to the FIRST agent whose normalized name scores
-`fuzz.partial_ratio > 80`; a later field matching the same agent
-overwrites (graph.set on the id node's rdf:value).
+`fuzz.partial_ratio > 80`. The id node's rdf:type is graph.set (single)
+but the rdf:value is graph.add — two fields matching the same agent
+ACCUMULATE rdf:value triples on the one `{agent}_orcid` /
+`{agent}_psychauthorsid` node, so the matcher returns a LIST of ids per
+position, in field order.
 
 `partial_ratio` reimplements fuzzywuzzy's algorithm on difflib (the
 pure-python backend fuzzywuzzy itself uses): best SequenceMatcher ratio
@@ -19,8 +22,16 @@ ascii on the family name, given name abbreviated to an initial.
 Deviation (documented): the reference's PAUP branch crashes on a name
 without a comma (`paup_split[1]` IndexError); we apply the ORCID
 branch's fallback (use the raw name) instead of failing the record.
-The kerndaten alternate-name tier (:460-498, an external TTL) is an
-authority-backed second tier — out of record-local scope here.
+
+The kerndaten alternate-name tier (:456-498): when a PAUP id matches NO
+contribution directly (the reference's for-else), every person
+contribution is rechecked against the `schema:alternateName` variants
+kerndaten.ttl holds for that paup id — a match on ANY alternate attaches
+the id to that agent, and (unlike the direct tier) the loop does not
+break, so several agents can receive it. The authority rows arrive here
+as the `alternates` dict ({paup_id: [name, ...]}), pre-joined per record
+by the broadcast kerndaten resolution map (plans/pipeline.py) — SURVEY
+§1.4's broadcast-person-authority shape.
 
 Used by BOTH emit paths: emit/arrow.py calls it per record; the Column
 path wraps it in an Arrow pandas UDF (emit/normalize.contrib_id_cols)
@@ -84,23 +95,32 @@ def match_ids_to_positions(
     id_fields: list[tuple[str | None, str | None]],
     person_names: list[tuple[int, str | None, str | None]],
     threshold: int = 80,
-) -> dict[int, str]:
+    alternates: dict[str, list[str]] | None = None,
+) -> dict[int, list[str]]:
     """Reference-direction matcher.
 
     id_fields: [(name, id), ...] in field order — mainfield + the id
     subfield of each PAUP/ORCID entry.
     person_names: [(pos, family, given), ...] person contributions in
     position order (the F8-split names the agents carry in the graph).
+    alternates: {id: [alternate name, ...]} — the kerndaten tier
+    (PAUP only; pass None for ORCID).
 
-    Returns {pos: id} — for each id field, the first contribution with
-    partial_ratio(normalized_entry, normalized_agent) > threshold; later
-    fields overwrite earlier ones on the same position (graph.set).
+    Returns {pos: [id, ...]} — for each id field, the first contribution
+    with partial_ratio(normalized_entry, normalized_agent) > threshold;
+    later fields matching the same position APPEND (the reference
+    graph.add's each rdf:value onto the shared id node). When NO
+    contribution matches directly and `alternates` has the id
+    (contributions.py:447-498): every contribution is rechecked against
+    each alternate name — a hit adds the id to that agent, without
+    breaking out of the agent loop (several agents can receive it; the
+    shared id node dedups repeat hits on one agent).
     """
     norm_positions = [
         (pos, normalize_person_name(family, given))
         for pos, family, given in person_names
     ]
-    out: dict[int, str] = {}
+    out: dict[int, list[str]] = {}
     for name, id_ in id_fields:
         if id_ is None or name is None:
             continue
@@ -112,6 +132,22 @@ def match_ids_to_positions(
             if agent_norm is None:
                 continue
             if partial_ratio(entry_norm, agent_norm) > threshold:
-                out[pos] = id_
+                out.setdefault(pos, []).append(id_)
                 break
+        else:
+            for alt in (alternates or {}).get(id_, []) or []:
+                alt_fam, alt_giv = split_comma_name(alt)
+                if alt_giv is None:
+                    # the reference indexes alternatename_split[1]
+                    # unguarded; skip comma-less variants instead
+                    continue
+                alt_norm = normalize_person_name(alt_fam, alt_giv)
+                for pos, agent_norm in norm_positions:
+                    if agent_norm is None:
+                        continue
+                    if (
+                        partial_ratio(alt_norm, agent_norm) > threshold
+                        and id_ not in out.get(pos, [])
+                    ):
+                        out.setdefault(pos, []).append(id_)
     return out

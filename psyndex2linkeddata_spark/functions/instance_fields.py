@@ -22,8 +22,10 @@ def split_pages(col: Column) -> Column:
     s = col
     has_dash = s.contains("-")
     starts_lower = s.rlike("^[a-z]")
-    first = F.trim(F.try_element_at(F.split(s, "-", 2), F.lit(1)))
-    second = F.trim(F.try_element_at(F.split(s, "-", 2), F.lit(2)))
+    # reference split("-", maxsplit=1) does NOT strip — '164 -180' keeps
+    # page_start '164 ' (instance_sources.py:73-76)
+    first = F.try_element_at(F.split(s, "-", 2), F.lit(1))
+    second = F.try_element_at(F.split(s, "-", 2), F.lit(2))
     after_space = F.try_element_at(F.split(s, " ", 2), F.lit(2))
 
     page_start = F.when(has_dash, first)

@@ -35,18 +35,27 @@ def sanitize_country_name(col: Column) -> Column:
 
 
 def family_name(col: Column) -> Column:
-    """F8 family part: before the first comma (whole string if none)."""
+    """F8 family part: before the first comma, whole string if none
+    (reference contributions.py:287-293 takes split(',')[0]/[1] whatever
+    the comma count — 'Perdue, Meaghan, V' → family 'Perdue')."""
     name = F.trim(col)
     parts = F.split(name, ",")
-    return F.when(F.size(parts) == 2, F.trim(F.try_element_at(parts, F.lit(1)))).otherwise(name)
+    return F.when(F.size(parts) >= 2, F.trim(F.try_element_at(parts, F.lit(1)))).otherwise(name)
 
 
 def given_name(col: Column) -> Column:
-    """F8 given part: after the comma; NULL unless exactly one comma
-    (reference returns None when split doesn't yield exactly 2 parts)."""
+    """F8 given part: second comma segment, extra segments dropped
+    (Spark split keeps trailing empties, matching Python str.split —
+    'X (nifbe),' → given ''); empty string when there is no comma: the
+    reference's except branch (contributions.py:291-303) sets
+    givenname='' and still emits the triple."""
     name = F.trim(col)
     parts = F.split(name, ",")
-    return F.when(F.size(parts) == 2, F.trim(F.try_element_at(parts, F.lit(2))))
+    return (
+        F.when(name.isNull(), F.lit(None).cast("string"))
+        .when(F.size(parts) >= 2, F.trim(F.try_element_at(parts, F.lit(2))))
+        .otherwise(F.lit(""))
+    )
 
 
 def ascii_umlauts(col: Column) -> Column:

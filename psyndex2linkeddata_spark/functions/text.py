@@ -107,7 +107,9 @@ def camel_case(col: Column) -> Column:
     return F.concat(F.lower(F.substring(joined, 1, 1)), F.substring(joined, 2, 1000000))
 
 
-TOC_RE = r"(?s)^(.*)[-–]\s*(Contents|Inhalt):\s*(.*)$"
+# reference abstract.py:149 — no DOTALL (a multi-line abstract never
+# splits) and optional space before the colon
+TOC_RE = r"^(.*)[-–]\s*(Contents|Inhalt)\s*:\s*(.*)$"
 
 
 def split_toc(col: Column) -> Column:
@@ -116,7 +118,8 @@ def split_toc(col: Column) -> Column:
     has = col.rlike(TOC_RE)
     body = F.when(has, F.trim(F.regexp_extract(col, TOC_RE, 1))).otherwise(col)
     toc = F.when(has, F.trim(F.regexp_extract(col, TOC_RE, 3)))
-    toc_is_url = F.when(toc.isNotNull(), toc.rlike(r"^https?://\S+$")).otherwise(F.lit(False))
+    # reference abstract.py:160: a ToC is a URL iff it startswith "http"
+    toc_is_url = F.when(toc.isNotNull(), toc.startswith("http")).otherwise(F.lit(False))
     return F.struct(body.alias("abstract"), toc.alias("toc"), toc_is_url.alias("toc_is_url"))
 
 

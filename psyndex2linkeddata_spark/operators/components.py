@@ -73,6 +73,84 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    O(log n)-round alternative to hash-to-min for chain-heavy graphs
+    (hash-to-min is O(diameter): fine for the hub-and-spoke components
+    entity resolution yields, pathological on long chains).
+
+    large-star: per node u, attach every LARGER neighbor to
+    m = min(Γ(u) ∪ {u}); small-star: per node u, attach its smaller
+    neighbors (and u) to m. Each phase is one groupBy shuffle + one
+    join; at fixpoint the edge set is a star forest (node → component
+    min). Same output contract as connected_components.
+    """
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v"))
+    )
+    nodes = (
+        e0.select(F.col("u").alias("node"))
+        .union(e0.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    a = e0.distinct().localCheckpoint()
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def large_star(e: DataFrame) -> DataFrame:
+        s = _sym(e)
+        mn = s.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mn"))
+        return (
+            s.join(mn, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient u ≥ v so every node groups with its smaller neighbors
+        s = (
+            e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mn = s.groupBy("u").agg(F.min("v").alias("mn"))
+        return (
+            s.join(mn, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(mn.select("u", F.col("mn").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev_sig = None
+    for _ in range(max_iter):
+        a = small_star(large_star(a)).localCheckpoint()
+        sig = a.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        sig = (sig.n, sig.h)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at fixpoint `a` is (node → root); roots map to themselves
+    return (
+        nodes.join(a, nodes["node"] == a["u"], "left")
+        .select("node", F.coalesce(F.col("v"), F.col("node")).alias("component"))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
 def canonicalize_uris(
     triples: DataFrame, components: DataFrame
 ) -> DataFrame:

@@ -125,6 +125,38 @@ def finalize(
     return deduped
 
 
+def kerndaten_resolution_map(records: DataFrame, kern: DataFrame) -> DataFrame:
+    """J9 second tier (reference modules/contributions.py:405-407,
+    456-498: kerndaten.ttl parsed at import; unmatched PAUP ids fall
+    back to the person's schema:alternateName variants).
+
+    SURVEY §1.4 shape: broadcast the person authority (paup_id,
+    alternate_names array) against the exploded PAUP mention ids and
+    fold back to one compact per-record map column `_kerndaten`
+    ({paup_id: [alternate name, ...]}) that both emit paths feed into
+    the matcher's fallback tier. Only records that mention a known id
+    get a row — the join stays proportional to the mention count, and
+    at a 10^8-author scale the broadcast hint is the only line to drop
+    (the shuffle join on paup_id is already the right shape)."""
+    from psyndex2linkeddata_spark.emit.base import subfield
+
+    mentions = (
+        records.select("url", F.explode(F.col("PAUP")).alias("_e"))
+        .select("url", subfield(F.col("_e"), "n").alias("paup_id"))
+        .where(F.col("paup_id").isNotNull())
+        .distinct()
+    )
+    return (
+        mentions.join(F.broadcast(kern), "paup_id")
+        .groupBy("url")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("paup_id", "alternate_names"))
+            ).alias("_kerndaten")
+        )
+    )
+
+
 def _build_triples_columns(
     pages: DataFrame,
     authorities: dict[str, DataFrame] | None,
@@ -136,6 +168,12 @@ def _build_triples_columns(
     records = extract_records(pages)
     if authorities and "bad_ids" in authorities:
         records = filter_bad_ids(records, authorities["bad_ids"])
+    if authorities and "kerndaten" in authorities:
+        records = records.join(
+            kerndaten_resolution_map(records, authorities["kerndaten"]),
+            "url",
+            "left",
+        )
     norm = normalize(records)
     if authorities and "crossref" in authorities:
         # J13/J14: offline Crossref DOI validation + citation→DOI search
@@ -175,11 +213,17 @@ def _build_triples_arrow(
     from psyndex2linkeddata_spark.extract.parser import filter_bad_ids
 
     auth = authorities or {}
-    need_maps = "crossref" in auth or "tests" in auth
+    need_maps = "crossref" in auth or "tests" in auth or "kerndaten" in auth
     if need_maps or "bad_ids" in auth:
         records = extract_records(pages)
         if "bad_ids" in auth:
             records = filter_bad_ids(records, auth["bad_ids"])
+        if "kerndaten" in auth:
+            records = records.join(
+                kerndaten_resolution_map(records, auth["kerndaten"]),
+                "url",
+                "left",
+            )
         if need_maps:
             from psyndex2linkeddata_spark.plans import crossref as cr
 

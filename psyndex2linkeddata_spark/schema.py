@@ -19,6 +19,7 @@ SCALAR_FIELDS: tuple[str, ...] = (
     "TI",       # main title
     "TIL",      # title language name
     "TIU",      # subtitle
+    "TIUL",     # subtitle language name
     "TIUE",     # translated title, "|s <lang>" subfield, "(DeepL)" marker
     "PY",       # publication year
     "LA",       # language of work (name, e.g. "English")

@@ -200,11 +200,20 @@ def jsonld_ish(triples: DataFrame) -> DataFrame:
     )
 
 
+# C0 controls without a short JSON escape (everything < 0x20 except the
+# \n \r \t already handled by _escape) → \u00XX
+_JSON_C0 = [c for c in range(0x20) if chr(c) not in "\n\r\t"]
+
+
 def _jescape(col: Column) -> Column:
-    """JSON string escaping for the characters this corpus can produce
-    (same escapable set as the NT serializer: backslash, quote, newline,
-    CR, tab). Other C0 controls don't survive extraction upstream."""
-    return _escape(col)
+    """JSON string escaping: backslash, quote, \\n/\\r/\\t (shared with
+    the NT serializer), plus every other C0 control as \\u00XX — this is
+    a public sink callable on arbitrary triples, so a stray \\x0b in a
+    literal must not produce an invalid JSON part file."""
+    out = _escape(col)
+    for c in _JSON_C0:
+        out = F.replace(out, F.lit(chr(c)), F.lit("\\u%04x" % c))
+    return out
 
 
 def jsonld_nodes(triples: DataFrame) -> DataFrame:

@@ -190,10 +190,13 @@ class TurtleDoc:
             import re
 
             # a decimal requires a digit AFTER the point — '5.' is the
-            # integer 5 followed by the statement terminator
+            # integer 5 followed by the statement terminator — but the
+            # DOUBLE production allows an empty fraction BEFORE an
+            # exponent ('5.e3' is [0-9]+ '.' [0-9]* EXPONENT), so the
+            # dot-with-exponent branch comes first
             m = re.match(
-                r"[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?"
-                r"|\d+[eE][+-]?\d+|\d+)",
+                r"[+-]?(?:\d+\.\d*[eE][+-]?\d+|\d+\.\d+(?:[eE][+-]?\d+)?"
+                r"|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+)",
                 sc.s[sc.i :],
             )
             tok = m.group(0)

@@ -12,6 +12,7 @@ A triple is (subj, pred, obj, obj_is_iri, lang, dtype).
 from __future__ import annotations
 
 import re
+import urllib.parse
 
 from psyndex2linkeddata_spark import namespaces as NS
 from psyndex2linkeddata_spark.data.tables import (
@@ -112,10 +113,14 @@ def sanitize_country(c):
 
 
 def family_given(name):
+    # reference contributions.py:286-303: split(',')[0]/[1] regardless of
+    # comma count (Python split keeps trailing empties, so 'X (nifbe),'
+    # → family 'X (nifbe)', given ''); the no-comma except branch sets
+    # givenname='' and the triple is still emitted
     parts = name.split(",")
-    if len(parts) == 2:
+    if len(parts) >= 2:
         return parts[0].strip(), parts[1].strip()
-    return name.strip(), None
+    return name.strip(), ""
 
 
 def clean_email(email):
@@ -147,6 +152,35 @@ def parse_fuzzy_date(s):
             return dt.datetime.strptime(s, fmt).date().isoformat()
         except ValueError:
             continue
+    # dateparser month-name forms (reference feeds PHIST |o like
+    # '27 Mar 2022' / 'MAR  2022' to dateparser.parse): any-case
+    # English/German month names + 3-letter abbreviations, flexible
+    # whitespace; missing day → 1 (deterministic stand-in for
+    # dateparser's wall-clock PREFER_DAY_OF_MONTH default)
+    months = {}
+    for i, m in enumerate(
+        ["january", "february", "march", "april", "may", "june", "july",
+         "august", "september", "october", "november", "december",
+         "januar", "februar", "märz", "april", "mai", "juni", "juli",
+         "august", "september", "oktober", "november", "dezember"]
+    ):
+        months[m] = i % 12 + 1
+        months[m[:3]] = i % 12 + 1
+    for pat, g in (
+        (r"(\d{1,2})\.?\s+([A-Za-zäöüÄÖÜ]+),?\s+(\d{4})", (3, 2, 1)),
+        (r"([A-Za-zäöüÄÖÜ]+)\.?\s+(\d{1,2}),?\s+(\d{4})", (3, 1, 2)),
+        (r"([A-Za-zäöüÄÖÜ]+)\s+(\d{4})", (2, 1, None)),
+    ):
+        m = re.fullmatch(pat, s)
+        if m and m.group(g[1]).lower() in months:
+            try:
+                return dt.date(
+                    int(m.group(g[0])),
+                    months[m.group(g[1]).lower()],
+                    int(m.group(g[2])) if g[2] else 1,
+                ).isoformat()
+            except ValueError:
+                return None
     # Spark's d.M.yyyy allows single digits; strptime %d.%m.%Y does too
     return None
 
@@ -217,11 +251,12 @@ def instances_of(rec):
     return out
 
 
-def locator_instance_n(insts):
+def locator_instance_ns(insts):
+    # one instance → that one; several → EVERY Online one (the reference
+    # loops over all instances adding ids to each Online instance)
     if len(insts) == 1:
-        return insts[0][0]
-    online = [i for i in insts if i[1] == "Online"]
-    return online[0][0] if online else None
+        return [insts[0][0]]
+    return [i[0] for i in insts if i[1] == "Online"]
 
 
 def emit_work_core(g, rec, W, B):
@@ -250,7 +285,8 @@ def emit_titles(g, rec, B):
         full = main
         if rec.get("TIU") is not None:
             sub = clean(rec["TIU"].strip())
-            g.add(title, NS.BF + "subtitle", sub, lang=guess_language(sub))
+            g.add(title, NS.BF + "subtitle", sub,
+                  lang=lang_or_guess(rec.get("TIUL"), sub))
             full = main + ". " + sub
         g.add(title, NS.RDFS_LABEL, full)
     tiue = rec.get("TIUE")
@@ -297,8 +333,9 @@ def emit_identifiers(g, rec, B, insts):
     g.add(node, NS.RDF + "value", dfk)
     g.add(B, NS.BF + "identifiedBy", node, iri=True)
     pu = clean(rec.get("PU"))
-    isbn_p = subfield(pu, "i") or (clean(rec["ISBN"].strip()) if rec.get("ISBN") else None)
-    isbn_e = subfield(pu, "e") or (clean(rec["EISBN"].strip()) if rec.get("EISBN") else None)
+    # reference add_isbns: PU |i/|e only, no standalone ISBN field
+    isbn_p = subfield(pu, "i")
+    isbn_e = subfield(pu, "e")
     if isbn_p:
         n = B + "#isbn_print"
         g.add(B, NS.BF + "identifiedBy", n, iri=True)
@@ -309,23 +346,27 @@ def emit_identifiers(g, rec, B, insts):
         g.add(B, NS.BF + "identifiedBy", n, iri=True)
         g.add(n, NS.RDF_TYPE, NS.BF + "Isbn", iri=True)
         g.add(n, NS.RDF + "value", isbn_e)
-    target_n = locator_instance_n(insts)
-    if target_n is None:
-        return
-    target = NS.INSTANCES + dfk + "#" + str(target_n)
-    if rec.get("DOI") is not None:
-        v, t = check_for_url_or_doi(clean(rec["DOI"]))
-        if t == "doi":
-            dn = "https://doi.org/" + v
-            g.add(dn, NS.RDF_TYPE, NS.BF + "Doi", iri=True)
-            g.add(dn, NS.RDF + "value", v)
-            g.add(target, NS.BF + "identifiedBy", dn, iri=True)
-    urn = rec.get("URN")
-    if urn is not None and urn.strip():
-        u = urn.strip()
-        g.add(u, NS.RDF_TYPE, NS.BF + "Urn", iri=True)
-        g.add(u, NS.RDF + "value", u)
-        g.add(target, NS.BF + "identifiedBy", u, iri=True)
+    for target_n in locator_instance_ns(insts):
+        target = NS.INSTANCES + dfk + "#" + str(target_n)
+        if rec.get("DOI") is not None:
+            v, t = check_for_url_or_doi(clean(rec["DOI"]))
+            if t == "doi":
+                # reference identifiers.py:28: node URI is quote(doi)
+                dn = "https://doi.org/" + urllib.parse.quote(v)
+                g.add(dn, NS.RDF_TYPE, NS.BF + "Doi", iri=True)
+                g.add(dn, NS.RDF + "value", v)
+                g.add(target, NS.BF + "identifiedBy", dn, iri=True)
+        urn = rec.get("URN")
+        if urn is not None and urn.strip():
+            u = urn.strip()
+            g.add(u, NS.RDF_TYPE, NS.BF + "Urn", iri=True)
+            g.add(u, NS.RDF + "value", u)
+            g.add(target, NS.BF + "identifiedBy", u, iri=True)
+        if rec.get("URLI") is not None:
+            v, t = check_for_url_or_doi(clean(rec["URLI"]).strip())
+            if t == "url":
+                # reference identifiers.py:82-89: bare electronicLocator URI
+                g.add(target, NS.BF + "electronicLocator", v, iri=True)
 
 
 def emit_publication(g, rec, B):
@@ -333,9 +374,12 @@ def emit_publication(g, rec, B):
     g.add(B, NS.BF + "provisionActivity", node, iri=True)
     g.add(node, NS.RDF_TYPE, NS.BF + "Publication", iri=True)
     phist_o = subfield(clean(rec.get("PHIST")), "o")
-    value, kind = date_or_year(phist_o, rec.get("PY"))
+    value, _kind = date_or_year(phist_o)
+    if value is None and rec.get("PY") is not None and rec["PY"].strip():
+        # raw PY fallback, typed by length (reference does not validate)
+        value = rec["PY"].strip()
     if value is not None:
-        g.add(node, NS.BF + "date", value, dtype=(NS.XSD_DATE if kind == "date" else NS.XSD_GYEAR))
+        g.add(node, NS.BF + "date", value, dtype=(NS.XSD_DATE if len(value) > 4 else NS.XSD_GYEAR))
         g.add(node, NS.BFLC + "simpleDate", value[:4])
     pu = clean(rec.get("PU"))
     if subfield(pu, "v"):
@@ -376,9 +420,13 @@ def _oracle_norm_person(family, given):
     return f"{family}, {given[0]}." if given else family
 
 
-def _oracle_match_ids(entries, persons, sub):
+def _oracle_match_ids(entries, persons, sub, kerndaten=None):
     """J9/J10 reference direction: per id field → first person whose
-    normalized name scores partial_ratio > 80; later fields overwrite."""
+    normalized name scores partial_ratio > 80; later fields accumulate.
+    `kerndaten` ({paup_id: [alternate name, ...]}) is the reference's
+    second tier (contributions.py:456-498): when NO person matched
+    directly, every person is rechecked against the id's alternate
+    names — without breaking, so several persons can receive the id."""
     norms = []
     for pos, name in persons:
         fam, giv = family_given(name)
@@ -393,10 +441,28 @@ def _oracle_match_ids(entries, persons, sub):
             key = _oracle_norm_person(parts[0].strip(), parts[1].strip())
         else:
             key = name
+        matched = False
         for pos, agent_norm in norms:
             if agent_norm and _oracle_partial_ratio(key, agent_norm) > 80:
-                got[pos] = id_
+                # rdf:value is graph.add in the reference — several fields
+                # matching the same agent accumulate on the one id node
+                got.setdefault(pos, []).append(id_)
+                matched = True
                 break
+        if not matched and kerndaten and id_ in kerndaten:
+            for pos, agent_norm in norms:
+                if not agent_norm:
+                    continue
+                for alt in kerndaten[id_]:
+                    p = alt.split(",")
+                    if len(p) < 2:
+                        continue
+                    alt_norm = _oracle_norm_person(p[0].strip(), p[1].strip())
+                    if (
+                        _oracle_partial_ratio(alt_norm, agent_norm) > 80
+                        and id_ not in got.get(pos, [])
+                    ):
+                        got.setdefault(pos, []).append(id_)
     return got
 
 
@@ -419,8 +485,9 @@ def _contribution_role(s, rec):
     return code
 
 
-def contributions_of(rec):
-    """Mirror of emit/normalize.contributions_col."""
+def contributions_of(rec, kerndaten=None):
+    """Mirror of emit/normalize.contributions_col (kerndaten = the
+    {paup_id: alternate names} authority for the J9 second tier)."""
     aups = [clean(s) for s in rec.get("AUP") or []]
     auks = [clean(s) for s in rec.get("AUK") or []]
     total = len(aups) + len(auks)
@@ -434,7 +501,8 @@ def contributions_of(rec):
         [clean(o) for o in rec.get("ORCID") or []], persons, "u"
     )
     paup_by_pos = _oracle_match_ids(
-        [clean(p_) for p_ in rec.get("PAUP") or []], persons, "n"
+        [clean(p_) for p_ in rec.get("PAUP") or []], persons, "n",
+        kerndaten=kerndaten,
     )
     out = []
     for i, s in enumerate(aups):
@@ -449,8 +517,9 @@ def contributions_of(rec):
         if (pos == 1 and own_org is None and own_country is None
                 and cs and cs.strip() and cou and cou.strip()):
             org, country = clean(cs.strip()), clean(cou.strip())
-        orcid = clean_orcid(orcid_by_pos[pos]) if pos in orcid_by_pos else None
-        paup = paup_by_pos.get(pos)
+        orcids = [v for v in (clean_orcid(o) for o in orcid_by_pos.get(pos, []))
+                  if v is not None]
+        paups = paup_by_pos.get(pos, [])
         em = None
         if email:
             if emid is not None and emid.lower().strip() == name.lower().strip():
@@ -459,15 +528,15 @@ def contributions_of(rec):
                 em = email
         out.append(dict(pos=pos, kind="person", name=name, family=fam, given=giv,
                         qualifier=qual, role=_contribution_role(s, rec),
-                        org=org, country=country, orcid=orcid,
-                        paup_id=paup, email=em))
+                        org=org, country=country, orcids=orcids,
+                        paup_ids=paups, email=em))
     for j, s in enumerate(auks):
         pos = len(aups) + j + 1
         qual = "first" if pos == 1 else ("last" if pos == total else "middle")
         out.append(dict(pos=pos, kind="org", name=mainfield(s), family=None,
                         given=None, qualifier=qual,
                         role=_contribution_role(s, rec), org=None,
-                        country=subfield(s, "c"), orcid=None, paup_id=None,
+                        country=subfield(s, "c"), orcids=[], paup_ids=[],
                         email=None))
     return out
 
@@ -520,20 +589,22 @@ def emit_contributions(g, rec, W, contribs):
             g.add(agent, NS.SCHEMA + "familyName", c["family"])
             if c["given"] is not None:
                 g.add(agent, NS.SCHEMA + "givenName", c["given"])
-            if c["orcid"]:
+            if c["orcids"]:
                 on = agent + "_orcid"
                 g.add(agent, NS.BF + "identifiedBy", on, iri=True)
                 g.add(on, NS.RDF_TYPE, NS.LOCID + "orcid", iri=True)
-                g.add(on, NS.RDF + "value", c["orcid"])
-            if c["paup_id"]:
+                for v in c["orcids"]:
+                    g.add(on, NS.RDF + "value", v)
+            if c["paup_ids"]:
                 pn = agent + "_psychauthorsid"
                 g.add(agent, NS.BF + "identifiedBy", pn, iri=True)
                 g.add(pn, NS.RDF_TYPE, NS.PXC + "PsychAuthorsID", iri=True)
-                g.add(pn, NS.RDF + "value", c["paup_id"])
+                for v in c["paup_ids"]:
+                    g.add(pn, NS.RDF + "value", v)
         emit_affiliation(g, cnode, agent, c["org"], c["country"])
 
 
-def emit_abstract(g, rec, W, field, lang_field, origin_field, secondary):
+def emit_abstract(g, rec, W, field, lang_field, origin_field, editor_field, secondary):
     raw = rec.get(field)
     if raw is None:
         return
@@ -544,7 +615,8 @@ def emit_abstract(g, rec, W, field, lang_field, origin_field, secondary):
     text = clean(raw.strip())
     toc = None
     if not secondary:
-        m = re.search(r"(?s)^(.*)[-–]\s*(Contents|Inhalt):\s*(.*)$", text)
+        # reference abstract.py:149 — default flags (no DOTALL), \s* colon
+        m = re.search(r"^(.*)[-–]\s*(Contents|Inhalt)\s*:\s*(.*)$", text)
         if m:
             text = m.group(1).strip()
             toc = m.group(3).strip()
@@ -570,6 +642,11 @@ def emit_abstract(g, rec, W, field, lang_field, origin_field, secondary):
     origin = rec.get(origin_field)
     origin = _ORIGIN_MAP.get(origin.strip(), origin.strip()) if origin is not None else "Original"
     g.add(src, NS.BFLC + "metadataLicensor", origin)
+    editor = rec.get(editor_field)
+    if editor is not None:
+        # editing agent (ASH2/ASN2) via bf:descriptionModifier, same recode
+        g.add(src, NS.BF + "descriptionModifier",
+              _ORIGIN_MAP.get(editor.strip(), editor.strip()))
     g.add(src, NS.PXP + "blockedAbstract", "true" if blocked else "false", dtype=NS.XSD_BOOLEAN)
     g.add(node, NS.BF + "adminMetadata", src, iri=True)
     g.add(W, NS.BF + "summary", node, iri=True)
@@ -583,7 +660,7 @@ def emit_abstract(g, rec, W, field, lang_field, origin_field, secondary):
         tn = W + "#toc"
         g.add(tn, NS.RDF_TYPE, NS.BF + "TableOfContents", iri=True)
         g.add(W, NS.BF + "tableOfContents", tn, iri=True)
-        if re.match(r"^https?://\S+$", toc):
+        if toc.startswith("http"):
             g.add(tn, NS.RDF + "value", toc, dtype=NS.XSD_ANYURI)
         else:
             g.add(tn, NS.RDFS_LABEL, toc, lang=guess_language(toc))
@@ -778,6 +855,7 @@ def emit_conferences(g, rec, W):
             nn = cr + "_note"
             g.add(nn, NS.RDF_TYPE, NS.BF + "Note", iri=True)
             g.add(nn, NS.RDFS_LABEL, note)
+            g.add(cr, NS.BF + "note", nn, iri=True)
         g.add(cr, NS.BF + "role", RELATORS + "ctb", iri=True)
         g.add(W, NS.BF + "contribution", cr, iri=True)
 
@@ -1166,6 +1244,13 @@ def emit_book(g, rec, B):
         g.add(target, NS.RDF_TYPE, NS.PXC + "InstanceBundle", iri=True)
     else:
         g.add(book, NS.RDF_TYPE, NS.BFLC + "Uncontrolled", iri=True)
+    bip = rec.get("BIP")
+    if bip is not None and bip.strip():
+        # superordinate book title always exported (instance_sources.py:404)
+        bt = book + "_title"
+        g.add(bt, NS.RDF_TYPE, NS.BF + "Title", iri=True)
+        g.add(bt, NS.BF + "mainTitle", bip.strip())
+        g.add(book, NS.BF + "title", bt, iri=True)
     p = split_pages(rec["PAGE"].strip()) if rec.get("PAGE") else (None, None, None, None)
     ps, pe, ext, art = p
     if ps:
@@ -1392,21 +1477,26 @@ def golden_triples(records: list[dict], authorities: dict | None = None) -> set[
     bad = (
         {r["dfk"] for r in authorities.get("bad_ids", [])} if authorities else set()
     )
+    kerndaten = (
+        {r["paup_id"]: list(r["alternate_names"]) for r in authorities["auth_kerndaten"]}
+        if authorities and "auth_kerndaten" in authorities
+        else None
+    )
     for rec in records:
         if rec.get("DFK") is None or rec["DFK"] in bad:
             continue
         W = work_uri(rec["DFK"])
         B = bundle_uri(rec["DFK"])
         insts = instances_of(rec)
-        contribs = contributions_of(rec)
+        contribs = contributions_of(rec, kerndaten=kerndaten)
         emit_work_core(g, rec, W, B)
         emit_titles(g, rec, B)
         emit_instances(g, rec, W, B, insts)
         emit_identifiers(g, rec, B, insts)
         emit_publication(g, rec, B)
         emit_contributions(g, rec, W, contribs)
-        emit_abstract(g, rec, W, "ABH", "ABLH", "ASH1", secondary=False)
-        emit_abstract(g, rec, W, "ABN", "ABLN", "ASH2", secondary=True)
+        emit_abstract(g, rec, W, "ABH", "ABLH", "ASH1", "ASH2", secondary=False)
+        emit_abstract(g, rec, W, "ABN", "ABLN", "ASN1", "ASN2", secondary=True)
         emit_terms(g, rec, W)
         emit_genres(g, rec, W, B)
         emit_funding(g, rec, W)

@@ -172,7 +172,9 @@ def test_title_casing_and_names(spark):
         names.normalize_name(names.family_name(F.col("s")), names.given_name(F.col("s"))),
     ).collect()
     assert tuple(got[0]) == ("Müller", "Thomas", "Mueller, T.")
-    assert tuple(got[1]) == ("Einname", None, "Einname")
+    # no comma → given '' (reference contributions.py:291-303 emits the
+    # empty-string givenName literal from its except branch)
+    assert tuple(got[1]) == ("Einname", "", "Einname")
     assert tuple(got[2]) == ("von Humboldt", "Alexander", "von Humboldt, A.")
 
 
@@ -263,3 +265,30 @@ def test_translated_title(spark):
     assert got[0].t.title == "Elektrophysiologischer Datensatz." and got[0].t.lang_name == "German" and got[0].t.origin == "DeepL"
     assert got[1].t.title == "A plain translated title" and got[1].t.lang_name == "English" and got[1].t.origin is None
     assert got[2].t.title == "No subfield at all" and got[2].t.lang_name is None
+
+
+def test_annif_stub_fixed_codes(spark):
+    """J8 deterministic Annif stand-in (reference local_api_lookups.py:
+    61-95 + publication_types.py:133-198: title+abstract → one method
+    code): content-dependent, pinned expected codes for fixed inputs,
+    identical across the Column expression, the Arrow twin, and the
+    oracle's mirror."""
+    from psyndex2linkeddata_spark.emit import arrow as A
+    from psyndex2linkeddata_spark.emit.genres import annif_stub_code, annif_text
+
+    cases = [
+        ("Mindfulness and stress", "A randomized controlled trial of mindfulness.", "10300"),
+        ("Der Einfluss von Achtsamkeit", None, "12100"),
+    ]
+    df = spark.createDataFrame(
+        [(t, a) for t, a, _ in cases], "title string, abstract string"
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            annif_stub_code(annif_text(F.col("title"), F.col("abstract")))
+        ).collect()
+    ]
+    assert got == [c for _, _, c in cases]
+    for t, a, c in cases:
+        assert A.annif_stub_code(A.annif_text(t, a)) == c

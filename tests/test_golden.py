@@ -51,6 +51,7 @@ def test_triple_pr_with_authorities(spark, pages, fixture_dir):
 
     from psyndex2linkeddata_spark.datagen.authorities import (
         auth_concepts_rows,
+        auth_kerndaten_rows,
         auth_orgs_rows,
         bad_ids_rows,
     )
@@ -60,6 +61,9 @@ def test_triple_pr_with_authorities(spark, pages, fixture_dir):
         n: spark.read.parquet(os.path.join(fixture_dir, f"{n}.parquet"))
         for n in ("auth_orgs", "auth_concepts", "bad_ids")
     }
+    authorities["kerndaten"] = spark.read.parquet(
+        os.path.join(fixture_dir, "auth_kerndaten.parquet")
+    )
     got = {
         (r.subj, r.pred, r.obj, r.obj_is_iri, r.lang, r.dtype)
         for r in build_triples(pages, authorities).collect()
@@ -69,6 +73,7 @@ def test_triple_pr_with_authorities(spark, pages, fixture_dir):
         {
             "auth_orgs": auth_orgs_rows(),
             "auth_concepts": auth_concepts_rows(),
+            "auth_kerndaten": auth_kerndaten_rows(),
             "bad_ids": bad_ids_rows(N_FIXTURE_PAGES),
         },
     )

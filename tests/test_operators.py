@@ -127,6 +127,47 @@ def test_connected_components_known_graph(spark):
     assert comps["p"] == "p"
 
 
+def test_connected_components_star_matches_hash_to_min(spark):
+    """Large-star/small-star (O(log n) rounds) agrees with hash-to-min
+    on a random multi-component graph."""
+    import random
+
+    from psyndex2linkeddata_spark.operators.components import (
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    pairs = [
+        (f"n{rng.randrange(60)}", f"n{rng.randrange(60)}") for _ in range(80)
+    ]
+    edges = spark.createDataFrame(pairs, ["src", "dst"]).coalesce(2)
+    want = {r.node: r.component for r in connected_components(edges).collect()}
+    got = {
+        r.node: r.component for r in connected_components_star(edges).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_star_chain_round_bound(spark):
+    """A 64-node chain: hash-to-min needs O(diameter)=~63 rounds (its
+    max_iter=25 default would NOT converge); star contraction finishes
+    inside ~2·log2(n) rounds and still labels the whole chain with its
+    minimum."""
+    from psyndex2linkeddata_spark.operators.components import (
+        connected_components_star,
+    )
+
+    n = 64
+    chain = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(n - 1)]
+    edges = spark.createDataFrame(chain, ["src", "dst"]).coalesce(1)
+    got = {
+        r.node: r.component
+        for r in connected_components_star(edges, max_iter=12).collect()
+    }
+    assert set(got.values()) == {"c000"}
+    assert len(got) == n
+
+
 def test_canonicalize_uris(spark):
     from psyndex2linkeddata_spark.schema import triples_schema
 
