@@ -135,7 +135,9 @@ def match_ids_to_positions(
                 out.setdefault(pos, []).append(id_)
                 break
         else:
-            for alt in (alternates or {}).get(id_, []) or []:
+            # map cells from Arrow arrive as numpy arrays — no truthiness
+            alts = (alternates or {}).get(id_)
+            for alt in list(alts) if alts is not None else []:
                 alt_fam, alt_giv = split_comma_name(alt)
                 if alt_giv is None:
                     # the reference indexes alternatename_split[1]

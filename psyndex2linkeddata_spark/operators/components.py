@@ -136,7 +136,8 @@ def connected_components_star(
         a = small_star(large_star(a)).localCheckpoint()
         sig = a.select(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v")).alias("h"),
+            # bit_xor: order-independent and cannot overflow (ANSI mode)
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
         ).collect()[0]
         sig = (sig.n, sig.h)
         if sig == prev_sig:

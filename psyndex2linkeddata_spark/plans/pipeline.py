@@ -86,7 +86,11 @@ def emit_triples(norm_records: DataFrame, annif: bool = True) -> DataFrame:
 
 
 def finalize(
-    triples: DataFrame, *, barrier: bool = True, genre_cleanup: bool = True
+    triples: DataFrame,
+    *,
+    barrier: bool = True,
+    genre_cleanup: bool = True,
+    truncate_lineage: bool = False,
 ) -> DataFrame:
     """A10 (rdflib.Graph set semantics — implicit in every graph.add):
     exact-duplicate triples collapse, plus (Column path) the
@@ -104,6 +108,22 @@ def finalize(
     deduped = triples.dropDuplicates(
         ["subj", "pred", "obj", "obj_is_iri", "lang", "dtype"]
     )
+    if truncate_lineage:
+        # Column-path barrier: the interpreted emit tree is ~10^4 nodes,
+        # and every downstream reference (clean_genres reads the set 3×,
+        # enrich 8×) re-ANALYZES the full logical plan — measured 650s of
+        # driver CPU inside a single analyzer rule on a 100-page corpus.
+        # localCheckpoint truncates the logical plan to a LogicalRDD so
+        # each reference analyzes a leaf. Only the spec/test path uses
+        # this; the Arrow production path keeps the columnar persist
+        # (its plan is small, and RDD-block storage thrashes the heap at
+        # the 100M-triple scale — measured 22× blowup at 5× data).
+        return_df = deduped.localCheckpoint()
+        if genre_cleanup:
+            from psyndex2linkeddata_spark.operators.upsert import clean_genres
+
+            return_df = clean_genres(return_df)
+        return return_df
     if barrier:
         # Plan barrier: clean_genres and the enrich joins reference the
         # triple set many times; without a barrier each reference
@@ -197,7 +217,7 @@ def _build_triples_columns(
         from psyndex2linkeddata_spark.plans.crossref import resolve_testg_ids
 
         norm = resolve_testg_ids(norm, authorities["tests"])
-    return finalize(emit_triples(norm, annif=annif))
+    return finalize(emit_triples(norm, annif=annif), truncate_lineage=True)
 
 
 def _build_triples_arrow(

@@ -45,11 +45,28 @@ def get_spark(
         # ~3M rows in each reduce task (GC-bound hash agg — measured
         # 3.5× worse than linear at 500k pages); 8×cores initial keeps
         # reduce tasks ~64-400k rows and costs small queries nothing
-        # because AQE merges them back to target size.
+        # because AQE merges them back to target size. The 256 floor is
+        # a cluster-sizing default — on small local masters (tests at
+        # local[4]) it only multiplies per-task overhead, so the floor
+        # applies from 32 cores up.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(max(int(shuffle_partitions) * 8, 256)),
+            str(
+                max(int(shuffle_partitions) * 8, 256)
+                if int(shuffle_partitions) >= 32
+                else int(shuffle_partitions) * 8
+            ),
         )
+        # without this, any persist()/cache() pins its exchange at the
+        # full initial partition count (AQE may not touch cached-plan
+        # output partitioning by default) — with the wide-then-coalesce
+        # strategy above that meant 256 reduce tasks for KB-scale test
+        # data, each paying the task-binary deserialization (measured:
+        # the interpreted Column-path emit tree costs ~2.5s/task in
+        # ObjectInputStream alone). Letting AQE coalesce cached output
+        # is strictly better here: nothing relies on the cached
+        # partition count.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
