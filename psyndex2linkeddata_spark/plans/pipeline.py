@@ -270,16 +270,27 @@ def _build_triples_arrow(
                 records = records.join(
                     cr.testg_resolution_map(norm, auth["tests"]), "url", "left"
                 )
-        # barrier: enrich_triples references the set many times
+        # barrier: enrich_triples references the set many times. With the
+        # persist in place the DataFrame-level A2 rule costs two cached
+        # reads, so run it here too — it covers the cross-record case
+        # (two pages sharing a DFK, one thesis + one Scholarly*) that the
+        # in-record rule can't see.
         return finalize(
             emit_triples_arrow(records, annif=annif),
             barrier=True,
-            genre_cleanup=False,
+            genre_cleanup=True,
         )
+    # barrier-free fast path: genre_cleanup would re-execute the emit 3×
+    # (no exchange reuse without a barrier — measured). The in-record A2
+    # rule fully covers it as long as the input holds one page per DFK,
+    # which is the pages-table contract (url-keyed records export);
+    # callers with weaker provenance can pass authorities={} to opt into
+    # the barrier + DataFrame-level rule.
+    safe = authorities is not None
     return finalize(
         emit_triples_arrow(pages, annif=annif),
-        barrier=bool(authorities),
-        genre_cleanup=False,
+        barrier=safe,
+        genre_cleanup=safe,
     )
 
 
