@@ -428,6 +428,35 @@ def q_kg_pipeline_synthetic(spark, sf):
     )
 
 
+def q_pii_scrub(spark, sf):
+    """PII masking (operators/pii.py): native regexp_replace chain over
+    the documents table, no UDF. The corpus text is augmented with
+    deterministic doc_id-derived email/IP/phone strings so every pattern
+    actually fires; the DuckDB oracle runs the identical chain (patterns
+    live in the Java-regex/RE2 common subset)."""
+    from psyndex2linkeddata_spark.operators.pii import pii_counts, scrub_pii
+
+    d = _t(spark, sf, "documents")
+    aug = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("contact "), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        F.concat(F.lit("node 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+        F.concat(
+            F.lit("tel +49 30 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" 123"),
+        ),
+    )
+    counts = pii_counts(aug)
+    return d.select(
+        "doc_id",
+        scrub_pii(aug).alias("scrubbed"),
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ips"].cast("long").alias("n_ips"),
+    )
+
+
 def q_multimodal_features(spark, sf):
     """Arrow-batched media feature extraction via mapInPandas (decode
     stubbed — operators/multimodal.py). Media rows are built from the
@@ -498,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link_exact": q_entity_link_exact,
         "connected_components": q_connected_components,
         "kg_pipeline_synthetic": q_kg_pipeline_synthetic,
+        "pii_scrub": q_pii_scrub,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -894,5 +924,29 @@ def oracle_sql() -> dict[str, str]:
         "kg_pipeline_synthetic": """
             select cast(31807 as bigint) as n_triples,
                    cast(68305532643809 as bigint) as content_crc
+        """,
+        # identical regexp chain as operators/pii.PII_PATTERNS, in
+        # application order; patterns are in the Java-regex/RE2 common
+        # subset so both engines agree
+        "pii_scrub": r"""
+            with aug as (
+              select doc_id,
+                     concat_ws(' ', text,
+                       'contact ' || cast(doc_id as varchar) || '@example.com',
+                       'node 10.0.' || cast(doc_id % 256 as varchar) || '.7',
+                       'tel +49 30 ' || lpad(cast(doc_id % 10000 as varchar), 4, '0') || ' 123'
+                     ) as t
+              from documents)
+            select doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                     '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+                     '\+\d{1,3}[ -]?\d{2,4}[ -]?\d{3,4}[ -]?\d{3,6}', '[PHONE]', 'g'),
+                     '\b\d{3}[ -]\d{3,4}[ -]\d{4}\b', '[PHONE]', 'g') as scrubbed,
+                   cast(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as bigint) as n_emails,
+                   cast(len(regexp_extract_all(t,
+                     '\b(?:\d{1,3}\.){3}\d{1,3}\b')) as bigint) as n_ips
+            from aug
         """,
     }

@@ -370,3 +370,29 @@ def test_testg_dsm_guard(spark):
         for r in build_triples(pages, authorities={"tests": ok_auth}).collect()
     }
     assert ("http://www.w3.org/1999/02/22-rdf-syntax-ns#value", "4242") in got2
+
+
+def test_scrub_pii(spark):
+    from psyndex2linkeddata_spark.operators.pii import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            ("write to jane.doe+x@uni-example.de now",),
+            ("server at 192.168.001.7 port 80",),
+            ("call +49 30 1234 5678 or 030-555-1212",),
+            ("nothing sensitive here, pi = 3.14159",),
+        ],
+        ["t"],
+    )
+    counts = pii_counts(F.col("t"))
+    got = df.select(
+        scrub_pii(F.col("t")).alias("s"),
+        counts["n_emails"].alias("e"),
+        counts["n_ips"].alias("i"),
+    ).collect()
+    assert got[0].s == "write to [EMAIL] now" and got[0].e == 1
+    assert got[1].s == "server at [IP] port 80" and got[1].i == 1
+    assert got[2].s == "call [PHONE] or [PHONE]"
+    # 3.14159 is not an IP (only 2 dots) and not phone-shaped
+    assert got[3].s == "nothing sensitive here, pi = 3.14159"
+    assert got[3].e == 0 and got[3].i == 0
