@@ -250,6 +250,35 @@ def q_ngram_jaccard(spark, sf):
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_neardup_clusters(spark, sf):
+    """Near-dup clustering (operators/dedup.py neardup_clusters):
+    MinHash-LSH pairs → connected-components closure → canonical doc per
+    cluster, every doc assigned (singletons = own cluster). The oracle
+    reruns the identical minhash banding in SQL and closes it with a
+    recursive CTE."""
+    from psyndex2linkeddata_spark.operators.dedup import neardup_clusters
+
+    d = _t(spark, sf, "documents")
+    return neardup_clusters(d, num_hashes=8, bands=4, n=3)
+
+
+def q_chunk_text(spark, sf):
+    """Sliding-window token chunking (operators/chunking.py): W=40
+    tokens, stride 30 — pure native split/sequence/slice projection, no
+    shuffle; the oracle mirrors the window arithmetic with DuckDB's
+    1-based inclusive list slices."""
+    from psyndex2linkeddata_spark.operators.chunking import chunk_tokens
+
+    d = _t(spark, sf, "documents")
+    out = chunk_tokens(d, window=40, stride=30)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        "n_tokens",
+    )
+
+
 def q_simhash(spark, sf):
     from psyndex2linkeddata_spark.operators.dedup import simhash_hex
 
@@ -515,6 +544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_wins": q_last_wins,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
+        "neardup_clusters": q_neardup_clusters,
+        "chunk_text": q_chunk_text,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
@@ -749,6 +780,50 @@ def oracle_sql() -> dict[str, str]:
             select distinct a.doc_id as id_a, b.doc_id as id_b
             from bands a join bands b
               on a.band = b.band and a.bkey = b.bkey and a.doc_id < b.doc_id
+        """,
+        # identical minhash banding as minhash_lsh, closed transitively
+        # with a recursive CTE; every document keeps a row (left join),
+        # cluster id = min doc_id of the component
+        "neardup_clusters": "with recursive "
+        + _MINHASH
+        + """,
+            pairs as (
+              select distinct a.doc_id as id_a, b.doc_id as id_b
+              from bands a join bands b
+                on a.band = b.band and a.bkey = b.bkey and a.doc_id < b.doc_id),
+            und as (select id_a as s, id_b as d from pairs
+                    union select id_b, id_a from pairs),
+            nd as (select distinct s as node from und),
+            reach(node, lab) as (
+              select node, node from nd
+              union
+              select u.s, r.lab from und u join reach r on u.d = r.node),
+            comp as (select node, min(lab) as c from reach group by node)
+            select d.doc_id,
+                   coalesce(comp.c, d.doc_id) as cluster_id,
+                   (coalesce(comp.c, d.doc_id) = d.doc_id) as is_canonical
+            from documents d left join comp on d.doc_id = comp.node
+        """,
+        # mirror of chunk_tokens(window=40, stride=30): DuckDB list
+        # slices are 1-based inclusive, so [k*30+1 : k*30+40] is exactly
+        # Spark's slice(toks, k*30+1, 40)
+        "chunk_text": r"""
+            with t as (
+              select doc_id,
+                     case when trim(coalesce(text, '')) = ''
+                          then []::varchar[]
+                          else regexp_split_to_array(trim(text), '\s+') end as toks
+              from documents),
+            p as (select doc_id, toks,
+                         greatest(cast(ceil((len(toks) - 10) / 30.0) as bigint),
+                                  1) as nc
+                  from t),
+            c as (select doc_id, toks, unnest(range(0, nc)) as k from p)
+            select doc_id,
+                   k as chunk_id,
+                   array_to_string(toks[k*30+1 : k*30+40], ' ') as chunk_text,
+                   cast(len(toks[k*30+1 : k*30+40]) as bigint) as n_tokens
+            from c
         """,
         "ngram_jaccard": "with "
         + _SHINGLES

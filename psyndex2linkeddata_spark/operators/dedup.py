@@ -301,3 +301,50 @@ def simhash_duplicate_groups(
         .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
         .where(F.col("n_docs") > 1)
     )
+
+
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    use_star: bool = False,
+) -> DataFrame:
+    """Near-duplicate document clustering: MinHash-LSH candidate pairs →
+    connected components → one canonical representative per cluster.
+
+    This is the "keep one copy of each near-dup family" pass a training
+    corpus runs after pairwise dedup scoring: transitive closure turns
+    A~B, B~C into one {A,B,C} cluster even when A~C never met in a band.
+    Returns (id, cluster_id, is_canonical) for EVERY input document —
+    singletons are their own cluster — so the keep-filter is just
+    `where is_canonical`.
+
+    Scale shape: the pair list is the LSH bucket join (never all-pairs);
+    the closure runs hash-to-min label propagation over pairs only —
+    near-dup graphs are tiny relative to the corpus (pairs ≪ docs), so
+    the iterative part touches a sliver of the data and the final
+    assignment is one left join back to the corpus on the doc id.
+    `use_star=True` switches to the large-star/small-star contraction
+    (O(log n) rounds) for pathological chain-shaped clusters.
+    """
+    from psyndex2linkeddata_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, n)
+    cc = connected_components_star if use_star else connected_components
+    comp = cc(pairs, src="id_a", dst="id_b")
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return (
+        df.select(id_col)
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            cluster.alias("cluster_id"),
+            (cluster == F.col(id_col)).alias("is_canonical"),
+        )
+    )

@@ -396,3 +396,52 @@ def test_scrub_pii(spark):
     # 3.14159 is not an IP (only 2 dots) and not phone-shaped
     assert got[3].s == "nothing sensitive here, pi = 3.14159"
     assert got[3].e == 0 and got[3].i == 0
+
+
+def test_chunk_tokens(spark):
+    from psyndex2linkeddata_spark.operators.chunking import chunk_tokens
+
+    words = " ".join(f"w{i}" for i in range(45))
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in chunk_tokens(df, window=40, stride=30).collect()
+    }
+    # 45 tokens, W=40, S=30 -> ceil((45-10)/30)=2 chunks: [0,40), [30,45)
+    assert got[(1, 0)][1] == 40 and got[(1, 0)][0].startswith("w0 w1 ")
+    assert got[(1, 1)] == (" ".join(f"w{i}" for i in range(30, 45)), 15)
+    assert got[(2, 0)] == ("a b c", 3)
+    # blank/null docs keep exactly one empty chunk (lineage survives)
+    assert got[(3, 0)] == ("", 0) and got[(4, 0)] == ("", 0)
+    assert len(got) == 5
+
+
+def test_neardup_clusters(spark):
+    from psyndex2linkeddata_spark.operators.dedup import neardup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),          # near-dup of 1
+            (3, "totally different words about spark shuffles and parquet files"),
+            (4, base.replace("dog", "cat")),  # near-dup of 1 (chains via bands)
+        ],
+        "doc_id long, text string",
+    )
+    for star in (False, True):
+        got = {
+            r.doc_id: (r.cluster_id, r.is_canonical)
+            for r in neardup_clusters(
+                df, num_hashes=8, bands=4, n=3, use_star=star
+            ).collect()
+        }
+        assert len(got) == 4
+        # 1 and 2 share nearly all shingles -> same cluster, 1 canonical
+        assert got[2][0] == got[1][0] == 1
+        assert got[1][1] is True and got[2][1] is False
+        # 3 is a singleton: its own cluster, canonical
+        assert got[3] == (3, True)
