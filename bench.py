@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "top_customers",
     "sessionize",
     "minhash_lsh",
+    "neardup_clusters",
+    "chunk_text",
+    "pii_scrub",
     "ngram_jaccard",
     "simhash",
     "embedding_topk",

@@ -42,6 +42,11 @@ def main(argv=None) -> None:
                     help="connected-components URI canonicalization over "
                          "owl:sameAs edges after conversion")
     ap.add_argument("--nt", help="also export N-Triples text to this path")
+    ap.add_argument("--table",
+                    help="also materialize the triples as a partitioned "
+                         "catalog table (writeTo V2 surface — Iceberg on a "
+                         "configured cluster catalog, parquet session "
+                         "catalog here); subj-hash bucketed")
     ap.add_argument("--master", default=None,
                     help="override master for local runs (spark-submit sets it otherwise)")
     args = ap.parse_args(argv)
@@ -96,6 +101,13 @@ def main(argv=None) -> None:
         from psyndex2linkeddata_spark.sources.export import write_nt
 
         write_nt(triples.distinct(), args.nt)
+
+    if args.table:
+        from psyndex2linkeddata_spark.sources.warehouse import write_triples_table
+
+        write_triples_table(
+            triples.distinct(), args.table, buckets=args.buckets, mode="replace"
+        )
 
     n = triples.distinct().count()
     print(f"run_id={res['run_id']} buckets={res['processed_buckets']} triples={n}")

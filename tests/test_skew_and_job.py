@@ -44,6 +44,9 @@ def test_convert_job_cli(spark, tmp_path_factory):
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     nt = os.path.join(base, "nt")
+    spark.sql(
+        f"create database if not exists wh_job location '{os.path.join(base, 'wh')}'"
+    )
     main(
         [
             "--pages", pages,
@@ -53,10 +56,16 @@ def test_convert_job_cli(spark, tmp_path_factory):
             "--buckets", "4",
             "--per-commit", "2",
             "--nt", nt,
+            "--table", "wh_job.triples",
         ]
     )
     triples = spark.read.parquet(os.path.join(out, "triples")).drop("batch")
     assert triples.distinct().count() > 1000
+    # --table materialized the same triple set as a partitioned table
+    tbl = spark.table("wh_job.triples")
+    assert tbl.count() == triples.distinct().count()
+    assert "subj_bucket" in tbl.columns
+    spark.sql("drop database if exists wh_job cascade")
     # enrichment ran (ror ids present) and kill-list applied
     assert triples.where(F.col("subj").endswith("_rorid")).count() > 0
     lineage = spark.read.parquet(os.path.join(ckpt, "lineage"))
@@ -66,3 +75,42 @@ def test_convert_job_cli(spark, tmp_path_factory):
     main(["--pages", pages, "--out", out, "--ckpt", ckpt,
           "--authorities", auth_dir, "--buckets", "4", "--per-commit", "2"])
     assert spark.read.parquet(os.path.join(ckpt, "lineage")).count() == 4
+
+
+def test_warehouse_triple_table(spark, tmp_path):
+    """V2 writeTo create → partitioned table; replace + append take the
+    documented vanilla-catalog fallbacks; bucket scan prunes partitions."""
+    from psyndex2linkeddata_spark.sources.warehouse import (
+        read_subj_bucket,
+        read_triples_table,
+        write_triples_table,
+    )
+
+    spark.sql(f"create database if not exists wh_test location '{tmp_path}'")
+    try:
+        df = spark.range(60).select(
+            F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias("subj"),
+            F.lit("http://example.org/p").alias("pred"),
+            F.col("id").cast("string").alias("obj"),
+        )
+        write_triples_table(df, "wh_test.triples", buckets=8, mode="create")
+        back = read_triples_table(spark, "wh_test.triples")
+        assert back.count() == 60
+        assert set(back.columns) == {"subj", "pred", "obj", "subj_bucket"}
+        # partition pruning: the FileScan carries a subj_bucket filter
+        pruned = read_subj_bucket(spark, "wh_test.triples", 1)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "subj_bucket" in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0]
+        # each subject lands in exactly one partition directory
+        n_buckets = back.select("subj", "subj_bucket").distinct()
+        assert n_buckets.groupBy("subj").count().where(F.col("count") > 1).count() == 0
+        # append (V1 positional-insert fallback on this catalog)
+        write_triples_table(df, "wh_test.triples", buckets=8, mode="append")
+        assert read_triples_table(spark, "wh_test.triples").count() == 120
+        # replace (drop+create fallback on this catalog)
+        write_triples_table(df.limit(10), "wh_test.triples", buckets=8, mode="replace")
+        assert read_triples_table(spark, "wh_test.triples").count() == 10
+    finally:
+        spark.sql("drop database if exists wh_test cascade")
