@@ -279,6 +279,17 @@ def q_chunk_text(spark, sf):
     )
 
 
+def q_cdc_chunks(spark, sf):
+    """Content-defined chunking (operators/chunking.cdc_chunks): rolling
+    k-gram-hash boundaries (k=3, divisor=8), per-row HOF plan with zero
+    shuffles; the oracle replays the identical md5-32bit boundary
+    decisions in DuckDB."""
+    from psyndex2linkeddata_spark.operators.chunking import cdc_chunks
+
+    d = _t(spark, sf, "documents")
+    return cdc_chunks(d, k=3, divisor=8)
+
+
 def q_simhash(spark, sf):
     from psyndex2linkeddata_spark.operators.dedup import simhash_hex
 
@@ -546,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "neardup_clusters": q_neardup_clusters,
         "chunk_text": q_chunk_text,
+        "cdc_chunks": q_cdc_chunks,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
@@ -780,6 +792,37 @@ def oracle_sql() -> dict[str, str]:
             select distinct a.doc_id as id_a, b.doc_id as id_b
             from bands a join bands b
               on a.band = b.band and a.bkey = b.bkey and a.doc_id < b.doc_id
+        """,
+        # mirror of cdc_chunks(k=3, divisor=8): boundary after 1-based
+        # token i in [3, n-1] when the first 32 md5 bits of the 3-gram
+        # ending at i are divisible by 8; DuckDB lists are 1-indexed so
+        # spark edges[j] == duck edges[j+1]
+        "cdc_chunks": r"""
+            with t as (
+              select doc_id,
+                     case when trim(coalesce(text, '')) = ''
+                          then []::varchar[]
+                          else regexp_split_to_array(trim(text), '\s+') end as toks
+              from documents),
+            b as (
+              select doc_id, toks,
+                     case when len(toks) - 1 >= 3 then
+                       list_filter(range(3, len(toks)),
+                         i -> ('0x' || substr(md5(array_to_string(toks[i-2:i], ' ')),
+                                              1, 8))::bigint % 8 = 0)
+                     else [] end as bpos
+              from t),
+            e as (select doc_id, toks,
+                         list_concat(list_concat([0], bpos), [len(toks)]) as edges
+                  from b),
+            c as (select doc_id, toks, edges,
+                         unnest(range(0, len(edges) - 1)) as j
+                  from e)
+            select doc_id,
+                   j as chunk_id,
+                   array_to_string(toks[edges[j+1]+1 : edges[j+2]], ' ') as chunk_text,
+                   cast(len(toks[edges[j+1]+1 : edges[j+2]]) as bigint) as n_tokens
+            from c
         """,
         # identical minhash banding as minhash_lsh, closed transitively
         # with a recursive CTE; every document keeps a row (left join),

@@ -72,3 +72,68 @@ def chunk_tokens(
             F.size(F.col("_c")).cast("long").alias("n_tokens"),
         )
     )
+
+
+def _gram_hash32(gram: Column) -> Column:
+    """First 32 bits of md5 as a bigint — the one hash both Spark and
+    DuckDB compute identically (xxhash64 doesn't exist in DuckDB), so
+    the oracle can replay boundary decisions bit-for-bit."""
+    return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint")
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking: a boundary falls AFTER token i whenever
+    the hash of the k-gram ending at i ≡ 0 (mod divisor) — expected
+    chunk length = `divisor` tokens.
+
+    Why content-defined instead of fixed windows: boundaries depend only
+    on a local k-token context, so inserting or deleting text re-chunks
+    ONLY the neighborhood of the edit — every downstream chunk hash
+    (dedup keys, embedding cache keys) stays stable, where fixed windows
+    shift every subsequent chunk. That stability is the point at 100 TB:
+    recrawls of near-identical pages dedup at the chunk level.
+
+    Plan shape: entirely per-row (boundary positions → adjacent-pair
+    slices → one explode), zero shuffles. The k-gram scan uses JVM
+    higher-order functions — interpreted, not codegen, but array-local
+    and Python-free; if profiling ever makes this the bottleneck the
+    same function drops into the sanctioned Arrow emit pattern
+    (emit/arrow.py) unchanged in semantics.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # boundary after position i (1-based, i in [k, n-1]): hash of
+    # toks[i-k+1 .. i] divisible by `divisor`; never after the last token.
+    # Guard: sequence(a, b) with b < a yields a DESCENDING sequence, so
+    # docs shorter than k+1 tokens must short-circuit to "no boundaries".
+    bpos = F.when(
+        n - 1 >= k,
+        F.filter(
+            F.sequence(F.lit(k), n - 1),
+            lambda i: F.pmod(
+                _gram_hash32(F.array_join(F.slice(toks, i - (k - 1), k), " ")),
+                F.lit(divisor),
+            )
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    edges = F.concat(F.array(F.lit(0)), bpos, F.array(n))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size(edges) - 2),
+        lambda j: F.slice(toks, edges[j] + 1, edges[j + 1] - edges[j]),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c"))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(F.col("_c"), " ").alias("chunk_text"),
+            F.size(F.col("_c")).cast("long").alias("n_tokens"),
+        )
+    )

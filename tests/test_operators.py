@@ -445,3 +445,34 @@ def test_neardup_clusters(spark):
         assert got[1][1] is True and got[2][1] is False
         # 3 is a singleton: its own cluster, canonical
         assert got[3] == (3, True)
+
+
+def test_cdc_chunks_stability(spark):
+    """Content-defined boundaries depend only on local k-grams: after a
+    prefix edit, every chunk past the first boundary is byte-identical —
+    the property fixed windows lack and the reason CDC chunk hashes make
+    stable dedup keys across recrawls."""
+    from psyndex2linkeddata_spark.operators.chunking import cdc_chunks
+
+    words = " ".join(f"tok{i * 7 % 97}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, words), (2, "prefix inserted here " + words), (3, "a b"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(df, k=3, divisor=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text, r.n_tokens))
+    for d in by_doc.values():
+        d.sort()
+    # lossless: chunks reassemble the token stream
+    assert " ".join(c for _, c, _ in by_doc[1]) == words
+    assert len(by_doc[1]) > 3  # divisor=8 over 120 tokens → many chunks
+    # stability: every chunk of doc1 except the first survives the edit
+    c1 = [c for _, c, _ in by_doc[1]]
+    c2 = {c for _, c, _ in by_doc[2]}
+    assert set(c1[1:]) <= c2
+    # short doc (< k+1 tokens): single chunk, no boundary scan
+    assert by_doc[3] == [(0, "a b", 2)]
+    # empty doc keeps one empty chunk (lineage)
+    assert by_doc[4] == [(0, "", 0)]
