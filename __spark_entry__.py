@@ -279,6 +279,16 @@ def q_chunk_text(spark, sf):
     )
 
 
+def q_repetition(spark, sf):
+    """Gopher-style repetition filters (functions/textstats.py
+    repetition_stats): duplicate-token fraction (per-row) + most-frequent-
+    bigram fraction (uniform doc-keyed agg)."""
+    from psyndex2linkeddata_spark.functions.textstats import repetition_stats
+
+    d = _t(spark, sf, "documents")
+    return repetition_stats(d)
+
+
 def q_cdc_chunks(spark, sf):
     """Content-defined chunking (operators/chunking.cdc_chunks): rolling
     k-gram-hash boundaries (k=3, divisor=8), per-row HOF plan with zero
@@ -565,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "quality": q_quality,
+        "repetition": q_repetition,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "entity_link_exact": q_entity_link_exact,
@@ -938,6 +949,34 @@ def oracle_sql() -> dict[str, str]:
                    case when de > en then 'de'
                         when en > 0 then 'en' else 'und' end as lang_guess
             from h
+        """,
+        # mirror of repetition_stats: dup-token fraction per doc +
+        # most-frequent-bigram occurrence fraction (4dp both sides)
+        "repetition": r"""
+            with t as (
+              select doc_id,
+                     case when trim(coalesce(text, '')) = ''
+                          then []::varchar[]
+                          else regexp_split_to_array(trim(text), '\s+') end as toks
+              from documents),
+            w as (select doc_id,
+                         case when len(toks) > 0
+                              then round((len(toks) - len(list_distinct(toks)))
+                                         / len(toks)::double, 4)
+                              else 0.0 end as dup_word_frac,
+                         toks
+                  from t),
+            bg as (select doc_id,
+                          unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])) as g
+                   from w where len(toks) >= 2),
+            cnt as (select doc_id, g, count(*) as c from bg group by 1, 2),
+            agg as (select doc_id,
+                           round(max(c) / sum(c)::double, 4) as top_bigram_frac
+                    from cnt group by 1)
+            select w.doc_id, w.dup_word_frac,
+                   coalesce(agg.top_bigram_frac, 0.0) as top_bigram_frac
+            from w left join agg using (doc_id)
         """,
         "quality": r"""
             with b as (

@@ -104,3 +104,70 @@ def rolling_fingerprint(col: Column, n: int = 5) -> Column:
     from psyndex2linkeddata_spark.operators.dedup import shingles
 
     return F.array_min(F.transform(shingles(col, n), F.md5))
+
+
+def repetition_stats(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 repetition filters): (id, dup_word_frac, top_bigram_frac).
+
+    - dup_word_frac: fraction of tokens that are repeats of an earlier
+      token (1 - distinct/total) — computed per-row, no shuffle.
+    - top_bigram_frac: fraction of all bigram occurrences taken by the
+      single most frequent bigram — boilerplate/spam pages score high.
+      Needs a per-(doc, bigram) count: one explode + one groupBy keyed
+      by (id, bigram) — uniform keys, map-side combined — then a doc-
+      keyed max/sum and a join back. At corpus scale both shuffles are
+      uniform in the doc id; no skew (a hot bigram is still keyed by
+      its doc).
+
+    Fractions round to 4dp so the DuckDB oracle compares stably.
+    """
+    from psyndex2linkeddata_spark.operators.chunking import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        F.when(
+            n > 0,
+            F.round((n - F.size(F.array_distinct(toks))) / n.cast("double"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+    )
+    bigrams = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size(F.col("_t")) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col("_t")) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("_t"), i + 1),
+                        F.element_at(F.col("_t"), i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_g"),
+    )
+    top = (
+        bigrams.groupBy(id_col, "_g")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.max("count") / F.sum("count").cast("double"), 4
+            ).alias("top_bigram_frac")
+        )
+    )
+    return base.join(top, id_col, "left").select(
+        id_col,
+        "dup_word_frac",
+        F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias("top_bigram_frac"),
+    )

@@ -292,3 +292,26 @@ def test_annif_stub_fixed_codes(spark):
     assert got == [c for _, _, c in cases]
     for t, a, c in cases:
         assert A.annif_stub_code(A.annif_text(t, a)) == c
+
+
+def test_repetition_stats(spark):
+    from psyndex2linkeddata_spark.functions.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now"),     # heavy repetition
+            (2, "all words here are unique"),   # none
+            (3, "solo"),                        # no bigrams
+            (4, ""),                            # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.dup_word_frac, r.top_bigram_frac)
+        for r in repetition_stats(df).collect()
+    }
+    # 6 tokens, 2 distinct -> 4/6; bigrams: "buy now"x3, "now buy"x2 -> 3/5
+    assert got[1] == (round(4 / 6, 4), 0.6)
+    assert got[2] == (0.0, 0.25)  # 4 distinct bigrams -> top 1/4
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (0.0, 0.0)
