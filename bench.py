@@ -35,7 +35,9 @@ BENCH_QUERIES = [
     "minhash_lsh",
     "neardup_clusters",
     "chunk_text",
+    "cdc_chunks",
     "pii_scrub",
+    "repetition",
     "ngram_jaccard",
     "simhash",
     "embedding_topk",

@@ -105,9 +105,17 @@ def cdc_chunks(
     and Python-free; if profiling ever makes this the bottleneck the
     same function drops into the sanctioned Arrow emit pattern
     (emit/arrow.py) unchanged in semantics.
+
+    Cost discipline: `_t`/`_e` are staged as real attribute columns —
+    each multi-referenced, so CollapseProject will NOT inline them —
+    because inlining re-embeds the whole md5 boundary filter at every
+    reference and the interpreted evaluator then recomputes it per chunk
+    element (measured 143s → ~3s at sf0.1 for this exact rewrite; see
+    the plan-cost memo in ac36c48).
     """
     toks = tokens(F.col(text_col))
-    n = F.size(toks)
+    staged = df.select(F.col(id_col), toks.alias("_t"))
+    t, n = F.col("_t"), F.size(F.col("_t"))
     # boundary after position i (1-based, i in [k, n-1]): hash of
     # toks[i-k+1 .. i] divisible by `divisor`; never after the last token.
     # Guard: sequence(a, b) with b < a yields a DESCENDING sequence, so
@@ -117,19 +125,24 @@ def cdc_chunks(
         F.filter(
             F.sequence(F.lit(k), n - 1),
             lambda i: F.pmod(
-                _gram_hash32(F.array_join(F.slice(toks, i - (k - 1), k), " ")),
+                _gram_hash32(F.array_join(F.slice(t, i - (k - 1), k), " ")),
                 F.lit(divisor),
             )
             == 0,
         ),
     ).otherwise(F.array().cast("array<int>"))
-    edges = F.concat(F.array(F.lit(0)), bpos, F.array(n))
+    edged = staged.select(
+        id_col,
+        "_t",
+        F.concat(F.array(F.lit(0)), bpos, F.array(n)).alias("_e"),
+    )
+    e = F.col("_e")
     chunks = F.transform(
-        F.sequence(F.lit(0), F.size(edges) - 2),
-        lambda j: F.slice(toks, edges[j] + 1, edges[j + 1] - edges[j]),
+        F.sequence(F.lit(0), F.size(e) - 2),
+        lambda j: F.slice(t, e[j] + 1, e[j + 1] - e[j]),
     )
     return (
-        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c"))
+        edged.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c"))
         .select(
             id_col,
             F.col("chunk_id").cast("long").alias("chunk_id"),
