@@ -279,6 +279,31 @@ def q_chunk_text(spark, sf):
     )
 
 
+def q_mix_sample(spark, sf):
+    """Deterministic stratified corpus mixing (operators/sampling.py):
+    keep decision = md5-32bit of the salted doc id vs a per-source rate
+    threshold — reproducible across runs/engines, pure narrow filter.
+    Sources src0-src4 at 100%, src5-src9 at 40%, the rest dropped."""
+    from psyndex2linkeddata_spark.operators.sampling import stratified_hash_sample
+
+    d = _t(spark, sf, "documents")
+    rates = {f"src{i}": 1.0 for i in range(5)} | {f"src{i}": 0.4 for i in range(5, 10)}
+    return stratified_hash_sample(
+        d, rates, strata_col="source", key_col="doc_id", salt="mix"
+    ).select("doc_id", "source")
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (operators/decontaminate.py): docs
+    sharing any 5-gram with the benchmark slice (doc_id % 37 == 0) are
+    flagged via a broadcast semi-join on exploded shingles."""
+    from psyndex2linkeddata_spark.operators.decontaminate import decontaminate
+
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 37 == 0).select("text")
+    return decontaminate(d, bench, n=5).select("doc_id", "contaminated")
+
+
 def q_repetition(spark, sf):
     """Gopher-style repetition filters (functions/textstats.py
     repetition_stats): duplicate-token fraction (per-row) + most-frequent-
@@ -393,15 +418,21 @@ def q_fingerprints(spark, sf):
     from psyndex2linkeddata_spark.functions.textstats import (
         bag_fingerprint,
         fingerprint,
-        rolling_fingerprint,
+        rolling_fingerprint_of,
     )
+    from psyndex2linkeddata_spark.operators.dedup import tokens
 
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
         fingerprint(F.col("text")).alias("fp"),
         bag_fingerprint(F.col("text")).alias("bag_fp"),
-        rolling_fingerprint(F.col("text"), 5).alias("rolling_fp"),
+        tokens(F.col("text")).alias("_toks"),
+    ).select(
+        "doc_id",
+        "fp",
+        "bag_fp",
+        rolling_fingerprint_of(F.col("_toks"), 5).alias("rolling_fp"),
     )
 
 
@@ -576,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "repetition": q_repetition,
+        "mix_sample": q_mix_sample,
+        "decontaminate": q_decontaminate,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "entity_link_exact": q_entity_link_exact,
@@ -949,6 +982,44 @@ def oracle_sql() -> dict[str, str]:
                    case when de > en then 'de'
                         when en > 0 then 'en' else 'und' end as lang_guess
             from h
+        """,
+        # mirror of stratified_hash_sample: keep iff the first 32 md5
+        # bits of 'mix:<doc_id>' fall below the per-source rate threshold
+        "mix_sample": r"""
+            with r as (
+              select doc_id, source,
+                     ('0x' || substr(md5('mix:' || cast(doc_id as varchar)),
+                                     1, 8))::bigint as h,
+                     case when source in ('src0','src1','src2','src3','src4')
+                            then 4294967296
+                          when source in ('src5','src6','src7','src8','src9')
+                            then cast(round(0.4 * 4294967296) as bigint)
+                          else 0 end as thr
+              from documents)
+            select doc_id, source from r where h < thr
+        """,
+        # mirror of decontaminate(n=5): lowercase whitespace shingles
+        # (whole doc when shorter than 5 tokens), benchmark slice =
+        # doc_id % 37 == 0, flagged via semi-join on shared grams
+        "decontaminate": r"""
+            with t as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                 x -> len(x) > 0) as toks
+              from documents),
+            g as (
+              select doc_id,
+                     unnest(list_distinct(
+                       case when len(toks) - 4 > 0
+                            then list_transform(range(1, len(toks) - 3),
+                                   i -> array_to_string(toks[i:i+4], ' '))
+                            else [array_to_string(toks, ' ')] end)) as gram
+              from t),
+            bg as (select distinct gram from g where doc_id % 37 = 0),
+            hit as (select distinct g.doc_id from g join bg using (gram))
+            select d.doc_id,
+                   (hit.doc_id is not null) as contaminated
+            from documents d left join hit on d.doc_id = hit.doc_id
         """,
         # mirror of repetition_stats: dup-token fraction per doc +
         # most-frequent-bigram occurrence fraction (4dp both sides)

@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "cdc_chunks",
     "pii_scrub",
     "repetition",
+    "mix_sample",
+    "decontaminate",
     "ngram_jaccard",
     "simhash",
     "embedding_topk",

@@ -97,13 +97,23 @@ def bag_fingerprint(col: Column) -> Column:
     return F.md5(F.concat_ws(" ", toks))
 
 
-def rolling_fingerprint(col: Column, n: int = 5) -> Column:
-    """Winnowing-style fingerprint: minimum md5 over word n-gram shingles
-    (one representative hash per document; equal for docs sharing their
-    minimal shingle — used as a blocking key)."""
-    from psyndex2linkeddata_spark.operators.dedup import shingles
+def rolling_fingerprint_of(toks: Column, n: int = 5) -> Column:
+    """Winnowing-style fingerprint over a PRE-STAGED token attribute:
+    minimum md5 over word n-gram shingles (one representative hash per
+    document; equal for docs sharing their minimal shingle — a blocking
+    key). Stage the tokens first — see operators/dedup.shingles_of on
+    why an inline token expression goes O(n²) interpreted."""
+    from psyndex2linkeddata_spark.operators.dedup import shingles_of
 
-    return F.array_min(F.transform(shingles(col, n), F.md5))
+    return F.array_min(F.transform(shingles_of(toks, n), F.md5))
+
+
+def rolling_fingerprint(col: Column, n: int = 5) -> Column:
+    """rolling_fingerprint_of over inline-tokenized text — convenience
+    for short docs/tests; hot paths stage the token column."""
+    from psyndex2linkeddata_spark.operators.dedup import tokens
+
+    return rolling_fingerprint_of(tokens(col), n)
 
 
 def repetition_stats(

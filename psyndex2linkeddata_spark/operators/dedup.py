@@ -31,9 +31,13 @@ def tokens(col: Column) -> Column:
     )
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles, space-joined, distinct."""
-    toks = tokens(col)
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles over a PRE-STAGED token column, space-joined,
+    distinct. `toks` must be a real projection attribute, not an inline
+    expression: the transform lambda references it per element, and the
+    interpreted HOF evaluator re-computes a non-attribute argument for
+    every shingle — O(n²) per doc (measured 41× slower on 800-token
+    docs). Stage with `df.select(..., tokens(col).alias("_toks"))`."""
     k = F.size(toks) - (n - 1)
     return F.array_distinct(
         F.when(
@@ -44,6 +48,13 @@ def shingles(col: Column, n: int = 3) -> Column:
             ),
         ).otherwise(F.array(F.concat_ws(" ", toks)))
     )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a raw text column. Convenience wrapper for
+    short-document / test contexts — DataFrame-level operators stage the
+    token array first and use shingles_of (see its docstring)."""
+    return shingles_of(tokens(col), n)
 
 
 def content_hash(col: Column) -> Column:
@@ -104,7 +115,9 @@ def minhash_signatures(
     This is the scale path: the per-row HOF tower (minhash_signature)
     evaluates interpreted and recomputes the shingle array per seed.
     `shingles` always yields ≥1 element, so no rows are dropped."""
-    ex = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_s"))
+    ex = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).select(
+        F.col(id_col), F.explode(shingles_of(F.col("_toks"), n)).alias("_s")
+    )
     agg = ex.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(f"_m{i}")
@@ -184,10 +197,12 @@ def ngram_jaccard_pairs(
     a shingle shared by k docs creates k² join rows); None disables the
     guard (and its extra pass) for skew-free corpora.
 
-    The shingle array is materialized in its own projection so the
-    expensive per-row computation runs once (size+explode reference the
-    column, not the expression)."""
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh"))
+    The token and shingle arrays are materialized in their own
+    projections so the expensive per-row computation runs once
+    (size+explode reference attributes, not expressions)."""
+    sh = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).select(
+        F.col(id_col), shingles_of(F.col("_toks"), n).alias("_sh")
+    )
     ex = sh.select(
         F.col(id_col),
         F.size("_sh").alias("n_sh"),

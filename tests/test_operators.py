@@ -476,3 +476,46 @@ def test_cdc_chunks_stability(spark):
     assert by_doc[3] == [(0, "a b", 2)]
     # empty doc keeps one empty chunk (lineage)
     assert by_doc[4] == [(0, "", 0)]
+
+
+def test_hash_sample_determinism(spark):
+    from psyndex2linkeddata_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("wiki").alias("source"),
+    )
+    a = {r.doc_id for r in hash_sample(df, 0.3, salt="s1").collect()}
+    b = {r.doc_id for r in hash_sample(df.repartition(13), 0.3, salt="s1").collect()}
+    assert a == b  # layout-independent, unlike df.sample
+    assert 0.2 < len(a) / 2000 < 0.4
+    # a smaller fraction with the same salt is a strict subset (nested
+    # samples: growing the budget only ADDS docs, never reshuffles)
+    c = {r.doc_id for r in hash_sample(df, 0.1, salt="s1").collect()}
+    assert c <= a
+    mixed = stratified_hash_sample(
+        df, {"wiki": 1.0}, strata_col="source", default_rate=0.0
+    )
+    got = mixed.groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in got} == {"wiki": 1000}
+
+
+def test_decontaminate(spark):
+    from psyndex2linkeddata_spark.operators.decontaminate import decontaminate
+
+    bench = spark.createDataFrame(
+        [("what is the capital of france",)], ["text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "quiz leak: what is the capital of france answer paris"),
+            (2, "unrelated text about spark shuffle partitions and parquet"),
+            (3, "the capital of france is lovely in spring"),  # only 4-gram overlap
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.contaminated for r in decontaminate(docs, bench, n=5).collect()}
+    assert got == {1: True, 2: False, 3: False}
