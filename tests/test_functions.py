@@ -315,3 +315,20 @@ def test_repetition_stats(spark):
     assert got[2] == (0.0, 0.25)  # 4 distinct bigrams -> top 1/4
     assert got[3] == (0.0, 0.0)
     assert got[4] == (0.0, 0.0)
+
+
+def test_with_top_bigram_frac_matches_stats(spark):
+    from psyndex2linkeddata_spark.functions.textstats import (
+        repetition_stats,
+        with_top_bigram_frac,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "buy now buy now buy now"), (2, "all words here are unique"), (3, "")],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: r.top_bigram_frac for r in repetition_stats(df).collect()}
+    out = with_top_bigram_frac(df)
+    assert set(out.columns) == {"doc_id", "text", "top_bigram_frac"}
+    b = {r.doc_id: r.top_bigram_frac for r in out.collect()}
+    assert a == b

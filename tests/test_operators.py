@@ -519,3 +519,42 @@ def test_decontaminate(spark):
     )
     got = {r.doc_id: r.contaminated for r in decontaminate(docs, bench, n=5).collect()}
     assert got == {1: True, 2: False, 3: False}
+
+
+def test_prepare_training_corpus(spark):
+    """End-to-end corpus prep plan: mix → scrub → quality gates →
+    decontaminate → near-dup dedup → chunk."""
+    from psyndex2linkeddata_spark.plans.corpus import prepare_training_corpus
+
+    base = " ".join(f"w{i * 13 % 211}" for i in range(60))
+    rows = [
+        (1, "keep", base + " mail me a@b.example.com"),          # near-dup of 2
+        (2, "keep", base + " extra tail words here"),            # canonical (min id wins via 1... see below)
+        (3, "keep", "short"),                                    # < min_tokens
+        (4, "keep", "spam spam spam spam spam spam spam spam"),  # dup-word gate
+        (5, "drop", base),                                       # mixed out
+        (6, "keep", "leaky doc with the secret benchmark answer phrase inside"),
+        (7, "keep", " ".join(f"u{i * 7 % 199}" for i in range(80))),  # clean unique
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    bench = spark.createDataFrame(
+        [("the secret benchmark answer phrase",)], ["text"]
+    )
+    out = prepare_training_corpus(
+        docs,
+        benchmark=bench,
+        decontaminate_n=5,
+        mix_rates={"keep": 1.0},
+        min_tokens=5,
+        max_dup_word_frac=0.5,
+        chunking="cdc",
+        cdc_divisor=16,
+    )
+    got = out.collect()
+    kept_ids = {r.doc_id for r in got}
+    # 3 (too short), 4 (repetition), 5 (mixed out), 6 (contaminated) gone;
+    # {1,2} is a near-dup family -> only the canonical (min id = 1) survives
+    assert kept_ids == {1, 7}
+    # chunks reassemble losslessly and PII was scrubbed before chunking
+    d1 = " ".join(r.chunk_text for r in sorted(got, key=lambda r: (r.doc_id, r.chunk_id)) if r.doc_id == 1)
+    assert "[EMAIL]" in d1 and "a@b.example.com" not in d1
