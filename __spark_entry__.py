@@ -304,6 +304,39 @@ def q_decontaminate(spark, sf):
     return decontaminate(d, bench, n=5).select("doc_id", "contaminated")
 
 
+def q_corpus_prep(spark, sf):
+    """The full training-corpus preparation plan (plans/corpus.py):
+    mix sampling → PII scrub → per-row quality/repetition gates →
+    benchmark decontamination → near-dup dedup → content-defined
+    chunking, composed as ONE plan and mirrored END-TO-END by the
+    DuckDB oracle (every stage, including the 16-hash minhash closure,
+    replayed in SQL)."""
+    from psyndex2linkeddata_spark.plans.corpus import prepare_training_corpus
+
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 37 == 0).select("text")
+    rates = {f"src{i}": 1.0 for i in range(5)} | {
+        f"src{i}": 0.4 for i in range(5, 10)
+    }
+    out = prepare_training_corpus(
+        d,
+        benchmark=bench,
+        decontaminate_n=5,
+        mix_rates=rates,
+        min_tokens=20,
+        max_dup_word_frac=0.6,
+        max_top_bigram_frac=0.05,
+        chunking="cdc",
+        cdc_divisor=8,
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        "n_tokens",
+    )
+
+
 def q_repetition(spark, sf):
     """Gopher-style repetition filters (functions/textstats.py
     repetition_stats): duplicate-token fraction (per-row) + most-frequent-
@@ -607,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "repetition": q_repetition,
+        "corpus_prep": q_corpus_prep,
         "mix_sample": q_mix_sample,
         "decontaminate": q_decontaminate,
         "token_counts": q_token_counts,
@@ -982,6 +1016,147 @@ def oracle_sql() -> dict[str, str]:
                    case when de > en then 'de'
                         when en > 0 then 'en' else 'und' end as lang_guess
             from h
+        """,
+        # END-TO-END mirror of prepare_training_corpus as wired in
+        # q_corpus_prep: mix thresholds -> scrub chain -> lowercase-token
+        # gates -> rounded top-bigram gate -> 5-gram decontamination vs
+        # the raw doc_id%37 slice -> 16-hash/4-band minhash + recursive
+        # closure (canonical = component min) -> cdc chunks (k=3, div=8)
+        "corpus_prep": r"""
+            with recursive
+            cp_base as (
+              select doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+                       '\+\d{1,3}[ -]?\d{2,4}[ -]?\d{3,4}[ -]?\d{3,6}', '[PHONE]', 'g'),
+                       '\b\d{3}[ -]\d{3,4}[ -]\d{4}\b', '[PHONE]', 'g') as text
+              from documents
+              where ('0x' || substr(md5('mix:' || cast(doc_id as varchar)), 1, 8))::bigint <
+                    case when source in ('src0','src1','src2','src3','src4')
+                           then 4294967296
+                         when source in ('src5','src6','src7','src8','src9')
+                           then cast(round(0.4 * 4294967296) as bigint)
+                         else 0 end),
+            cp_lt as (
+              select doc_id, text,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                 x -> len(x) > 0) as lt
+              from cp_base),
+            cp_g1 as (
+              select * from cp_lt
+              where len(lt) >= 20
+                and (case when len(lt) > 0
+                          then (len(lt) - len(list_distinct(lt)))::double / len(lt)
+                          else 0 end) <= 0.6),
+            cp_ct as (
+              select doc_id, lt,
+                     case when trim(coalesce(text, '')) = '' then []::varchar[]
+                          else regexp_split_to_array(trim(text), '\s+') end as ct
+              from cp_g1),
+            cp_bg as (
+              select doc_id,
+                     unnest(list_transform(range(1, len(ct)),
+                            i -> ct[i] || ' ' || ct[i+1])) as g
+              from cp_ct where len(ct) >= 2),
+            cp_top as (
+              select doc_id, round(max(c)::double / sum(c), 4) as frac
+              from (select doc_id, g, count(*) as c from cp_bg group by 1, 2)
+              group by 1),
+            cp_g2 as (
+              select cp_ct.* from cp_ct left join cp_top using (doc_id)
+              where coalesce(cp_top.frac, 0.0) <= 0.05),
+            cp_docg as (
+              select doc_id,
+                     unnest(list_distinct(
+                       case when len(lt) - 4 > 0
+                            then list_transform(range(1, len(lt) - 3),
+                                   i -> array_to_string(lt[i:i+4], ' '))
+                            else [array_to_string(lt, ' ')] end)) as gram
+              from cp_g2),
+            cp_benchg as (
+              select distinct unnest(list_distinct(
+                       case when len(bt) - 4 > 0
+                            then list_transform(range(1, len(bt) - 3),
+                                   i -> array_to_string(bt[i:i+4], ' '))
+                            else [array_to_string(bt, ' ')] end)) as gram
+              from (select list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                       x -> len(x) > 0) as bt
+                    from documents where doc_id % 37 = 0)),
+            cp_contam as (select distinct doc_id from cp_docg join cp_benchg using (gram)),
+            cp_g3 as (select * from cp_g2
+                      where doc_id not in (select doc_id from cp_contam)),
+            cp_sh as (
+              select doc_id,
+                     list_distinct(
+                       case when len(lt) - 2 > 0
+                            then list_transform(range(1, len(lt) - 1),
+                                   i -> array_to_string(lt[i:i+2], ' '))
+                            else [array_to_string(lt, ' ')] end) as s
+              from cp_g3),
+            cp_mh as (
+              select doc_id,
+                 list_aggregate(list_transform(s, x -> md5('0:' || x)), 'min') as m0,
+                 list_aggregate(list_transform(s, x -> md5('1:' || x)), 'min') as m1,
+                 list_aggregate(list_transform(s, x -> md5('2:' || x)), 'min') as m2,
+                 list_aggregate(list_transform(s, x -> md5('3:' || x)), 'min') as m3,
+                 list_aggregate(list_transform(s, x -> md5('4:' || x)), 'min') as m4,
+                 list_aggregate(list_transform(s, x -> md5('5:' || x)), 'min') as m5,
+                 list_aggregate(list_transform(s, x -> md5('6:' || x)), 'min') as m6,
+                 list_aggregate(list_transform(s, x -> md5('7:' || x)), 'min') as m7,
+                 list_aggregate(list_transform(s, x -> md5('8:' || x)), 'min') as m8,
+                 list_aggregate(list_transform(s, x -> md5('9:' || x)), 'min') as m9,
+                 list_aggregate(list_transform(s, x -> md5('10:' || x)), 'min') as m10,
+                 list_aggregate(list_transform(s, x -> md5('11:' || x)), 'min') as m11,
+                 list_aggregate(list_transform(s, x -> md5('12:' || x)), 'min') as m12,
+                 list_aggregate(list_transform(s, x -> md5('13:' || x)), 'min') as m13,
+                 list_aggregate(list_transform(s, x -> md5('14:' || x)), 'min') as m14,
+                 list_aggregate(list_transform(s, x -> md5('15:' || x)), 'min') as m15
+              from cp_sh),
+            cp_bands as (
+              select doc_id, 0 as band, md5(m0 || '|' || m1 || '|' || m2 || '|' || m3) as bkey from cp_mh
+              union all
+              select doc_id, 1 as band, md5(m4 || '|' || m5 || '|' || m6 || '|' || m7) as bkey from cp_mh
+              union all
+              select doc_id, 2 as band, md5(m8 || '|' || m9 || '|' || m10 || '|' || m11) as bkey from cp_mh
+              union all
+              select doc_id, 3 as band, md5(m12 || '|' || m13 || '|' || m14 || '|' || m15) as bkey from cp_mh
+            ),
+            cp_pairs as (
+              select distinct a.doc_id as id_a, b.doc_id as id_b
+              from cp_bands a join cp_bands b
+                on a.band = b.band and a.bkey = b.bkey and a.doc_id < b.doc_id),
+            cp_und as (select id_a as s, id_b as d from cp_pairs
+                       union select id_b, id_a from cp_pairs),
+            cp_nd as (select distinct s as node from cp_und),
+            cp_reach(node, lab) as (
+              select node, node from cp_nd
+              union
+              select u.s, r.lab from cp_und u join cp_reach r on u.d = r.node),
+            cp_comp as (select node, min(lab) as c from cp_reach group by node),
+            cp_keep as (
+              select g.doc_id, g.ct as toks
+              from cp_g3 g left join cp_comp c on g.doc_id = c.node
+              where coalesce(c.c, g.doc_id) = g.doc_id),
+            cp_bpos as (
+              select doc_id, toks,
+                     case when len(toks) - 1 >= 3 then
+                       list_filter(range(3, len(toks)),
+                         i -> ('0x' || substr(md5(array_to_string(toks[i-2:i], ' ')),
+                                              1, 8))::bigint % 8 = 0)
+                     else [] end as bpos
+              from cp_keep),
+            cp_edges as (select doc_id, toks,
+                                list_concat(list_concat([0], bpos), [len(toks)]) as edges
+                         from cp_bpos),
+            cp_j as (select doc_id, toks, edges,
+                            unnest(range(0, len(edges) - 1)) as j
+                     from cp_edges)
+            select doc_id,
+                   j as chunk_id,
+                   array_to_string(toks[edges[j+1]+1 : edges[j+2]], ' ') as chunk_text,
+                   cast(len(toks[edges[j+1]+1 : edges[j+2]]) as bigint) as n_tokens
+            from cp_j
         """,
         # mirror of stratified_hash_sample: keep iff the first 32 md5
         # bits of 'mix:<doc_id>' fall below the per-source rate threshold
