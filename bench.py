@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "repetition",
     "mix_sample",
     "decontaminate",
+    "corpus_prep",
     "ngram_jaccard",
     "simhash",
     "embedding_topk",

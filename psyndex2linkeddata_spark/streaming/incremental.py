@@ -86,3 +86,70 @@ def sessionize_events_stream(events: DataFrame, gap_minutes: int = 30) -> DataFr
         )
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
     )
+
+
+def stream_corpus_chunks(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    mix_rates: dict[str, float] | None = None,
+    min_tokens: int = 5,
+    max_dup_word_frac: float = 0.9,
+    cdc_divisor: int = 64,
+) -> None:
+    """Incremental training-corpus prep: new document files → scrubbed,
+    quality-gated, CDC-chunked parquet, exactly once per doc.
+
+    Only the NARROW prep stages run per micro-batch (mix sampling, PII
+    scrub, per-row gates, chunking — all stateless per document, so a
+    batch is just a filtered projection). Near-dup dedup and benchmark
+    decontamination are deliberately NOT in the stream: both need
+    corpus-global state (the LSH pair graph / the full gram set) that a
+    micro-batch can't see; they run as the periodic batch compaction
+    over the accumulated chunk table (plans/corpus.py), which is how a
+    production crawl pipeline splits it too — stream the cheap hygiene,
+    compact the global passes.
+
+    Same idempotency contract as stream_triples: per-batch overwrite
+    into batch_id=<id> directories, so at-least-once foreachBatch
+    becomes effective exactly-once.
+    """
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from psyndex2linkeddata_spark.plans.corpus import prepare_training_corpus
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    docs = spark.readStream.schema(schema).format("parquet").load(docs_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        chunks = prepare_training_corpus(
+            batch_df,
+            mix_rates=mix_rates,
+            min_tokens=min_tokens,
+            max_dup_word_frac=max_dup_word_frac,
+            max_top_bigram_frac=None,
+            benchmark=None,
+            dedup=False,
+            chunking="cdc",
+            cdc_divisor=cdc_divisor,
+        )
+        chunks.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "chunks", f"batch_id={int(batch_id)}")
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "stream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -149,3 +149,48 @@ def test_sessionize_stream_plan(spark):
     out = sessionize_events_stream(events)
     assert out.isStreaming
     assert set(out.columns) == {"user_id", "session_window", "n_events", "total_value"}
+
+
+def test_streaming_corpus_chunks(spark, tmp_path_factory):
+    """Two arrival waves → two AvailableNow runs: each doc chunked exactly
+    once, final table equals the batch plan over the union."""
+    import os
+
+    from psyndex2linkeddata_spark.plans.corpus import prepare_training_corpus
+    from psyndex2linkeddata_spark.streaming.incremental import stream_corpus_chunks
+
+    base = str(tmp_path_factory.mktemp("stream_corpus"))
+    docs_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("docs", "out", "ckpt"))
+    os.makedirs(docs_dir)
+
+    def make(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"tok{j}_"), (F.col("id") * (j + 3) % 101).cast("string"))
+                    for j in range(30)
+                ],
+            ).alias("text"),
+            F.lit("de").alias("lang"),
+            F.lit("src0").alias("source"),
+            F.lit(0).cast("long").alias("n_chars"),
+        )
+
+    make(0, 40).coalesce(1).write.mode("append").parquet(docs_dir)
+    stream_corpus_chunks(spark, docs_dir, out_dir, ckpt, cdc_divisor=16)
+    first = spark.read.parquet(os.path.join(out_dir, "chunks")).count()
+    assert first > 0
+
+    make(40, 60).coalesce(1).write.mode("append").parquet(docs_dir)
+    stream_corpus_chunks(spark, docs_dir, out_dir, ckpt, cdc_divisor=16)
+    got = spark.read.parquet(os.path.join(out_dir, "chunks"))
+    want = prepare_training_corpus(
+        make(0, 60), benchmark=None, dedup=False,
+        max_top_bigram_frac=None, chunking="cdc", cdc_divisor=16,
+    )
+    assert got.count() == want.count() > first
+    g = {(r.doc_id, r.chunk_id, r.chunk_text) for r in got.collect()}
+    w = {(r.doc_id, r.chunk_id, r.chunk_text) for r in want.collect()}
+    assert g == w
