@@ -154,11 +154,23 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band.
 
     shingle→minhash→band→bucket-join: the join shuffles on (band, key);
-    verification (true Jaccard) composes with ngram_jaccard_verify."""
+    verification (true Jaccard) composes with ngram_jaccard_verify.
+
+    `max_bucket_size` is the skew guard the band join needs at corpus
+    scale: a bucket of k docs contributes k² join rows, and web corpora
+    have boilerplate families (identical banners, parked domains) where
+    k reaches millions — one such bucket is a job-killing straggler.
+    Buckets above the cap are dropped from the PAIR join (one uniform
+    count pass first); their members are near-exact duplicate families
+    by construction, which the exact-dup pass (content_hash groupBy —
+    linear, skew-free) already collapses, so route those through
+    exact_duplicate_groups rather than through a quadratic join. None
+    disables the guard (and its extra aggregation) for small corpora."""
     rows_per_band = num_hashes // bands
     # explode→groupBy signatures (scale path; see minhash_signatures)
     sigd = minhash_signatures(df, id_col, text_col, num_hashes, n)
@@ -166,6 +178,14 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.explode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias("b"),
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "key")
+            .count()
+            .where(F.col("count") <= max_bucket_size)
+            .select("band", "key")
+        )
+        banded = banded.join(small, ["band", "key"])
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -558,3 +558,23 @@ def test_prepare_training_corpus(spark):
     # chunks reassemble losslessly and PII was scrubbed before chunking
     d1 = " ".join(r.chunk_text for r in sorted(got, key=lambda r: (r.doc_id, r.chunk_id)) if r.doc_id == 1)
     assert "[EMAIL]" in d1 and "a@b.example.com" not in d1
+
+
+def test_minhash_bucket_guard(spark):
+    """max_bucket_size drops boilerplate LSH buckets from the quadratic
+    pair join (their members are exact-dup families for the linear
+    exact-dedup pass) without touching genuine near-dup pairs."""
+    from psyndex2linkeddata_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "identical parked domain banner text repeated on every page"
+    near = "the quick brown fox jumps over the lazy dog again today"
+    rows = [(i, boiler) for i in range(20)] + [
+        (100, near),
+        (101, near + " extra"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unguarded = minhash_lsh_pairs(df, num_hashes=8, bands=4, n=3)
+    assert unguarded.count() >= 190 + 1  # 20-doc bucket -> 190 pairs
+    guarded = minhash_lsh_pairs(df, num_hashes=8, bands=4, n=3, max_bucket_size=10)
+    got = {(r.id_a, r.id_b) for r in guarded.collect()}
+    assert got == {(100, 101)}  # boilerplate family excluded, near-dup kept
