@@ -38,6 +38,12 @@ def main() -> None:
         ("lsh_topk", "LSH-bucketed ANN (join on hyperplane signature)"),
         ("entity_link_exact", "exact entity linking (broadcast hash join)"),
         ("pricing_summary", "scan+agg with pushdown/pruning"),
+        ("pii_scrub", "native regexp chain fused into the scan projection"),
+        ("chunk_text", "sliding-window chunking (one codegen span, zero exchanges)"),
+        ("cdc_chunks", "content-defined chunking (staged arrays, zero exchanges)"),
+        ("repetition", "per-row repetition signals (sorted-run mode, zero exchanges)"),
+        ("mix_sample", "deterministic stratified sampling (pure narrow filter)"),
+        ("decontaminate", "benchmark n-gram check (broadcast left-semi join)"),
     ]
     out = ["# PLANS — physical plan evidence (sf0.001, local[8])\n"]
     out.append(
