@@ -418,6 +418,65 @@ def q_lang_id(spark, sf):
     return d.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
 
 
+def q_lang_id_ngram(spark, sf):
+    """F5 full tier: trigram-profile language ID (en/de/fr/es/it/nl) —
+    one JVM-side regexp_count per language over the lowercased text,
+    argmax with first-in-table tie-break. The per-language hit counts are
+    in the output so the oracle pins the votes, not just the winner."""
+    from psyndex2linkeddata_spark.functions.textstats import (
+        lang_id_ngram,
+        lang_ngram_counts,
+    )
+
+    d = _t(spark, sf, "documents")
+    counts = lang_ngram_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[counts[lang].alias(f"c_{lang}") for lang, _ in _ngram_profiles()],
+        lang_id_ngram(F.col("text")).alias("lang_guess"),
+    )
+
+
+def _ngram_profiles():
+    from psyndex2linkeddata_spark.functions.textstats import _NGRAM_PROFILES
+
+    return _NGRAM_PROFILES
+
+
+def _lang_id_ngram_sql() -> str:
+    """DuckDB mirror of q_lang_id_ngram, generated from the SAME profile
+    table so the two can't drift: len(regexp_extract_all(...)) per
+    language (non-overlapping, equal-length alternatives → identical hit
+    counts in Java regex and RE2), then the same >=-chain argmax."""
+    profiles = _ngram_profiles()
+    langs = [lang for lang, _ in profiles]
+    count_cols = ",\n              ".join(
+        "len(regexp_extract_all(lower(coalesce(text,'')), '{}')) as c_{}".format(
+            "|".join(tris), lang
+        )
+        for lang, tris in profiles
+    )
+    when_branches = "\n                   ".join(
+        "when c_{l} > 0 and {geq} then '{l}'".format(
+            l=lang,
+            geq=" and ".join(
+                f"c_{lang} >= c_{o}" for o in langs if o != lang
+            ),
+        )
+        for lang in langs
+    )
+    cols = ", ".join(f"c_{lang}" for lang in langs)
+    return f"""
+        with h as (select doc_id,
+              {count_cols}
+              from documents)
+        select doc_id, {cols},
+              case {when_branches}
+                   else 'und' end as lang_guess
+        from h
+    """
+
+
 def q_quality(spark, sf):
     from psyndex2linkeddata_spark.functions.textstats import quality_score
 
@@ -638,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
         "quality": q_quality,
         "repetition": q_repetition,
         "corpus_prep": q_corpus_prep,
@@ -1017,6 +1077,7 @@ def oracle_sql() -> dict[str, str]:
                         when en > 0 then 'en' else 'und' end as lang_guess
             from h
         """,
+        "lang_id_ngram": _lang_id_ngram_sql(),
         # END-TO-END mirror of prepare_training_corpus as wired in
         # q_corpus_prep: mix thresholds -> scrub chain -> lowercase-token
         # gates -> rounded top-bigram gate -> 5-gram decontamination vs
@@ -1325,8 +1386,8 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_reference_exec.py against the reference's own
         # converter output).
         "kg_pipeline_synthetic": """
-            select cast(31807 as bigint) as n_triples,
-                   cast(68305532643809 as bigint) as content_crc
+            select cast(31855 as bigint) as n_triples,
+                   cast(68410338250100 as bigint) as content_crc
         """,
         # identical regexp chain as operators/pii.PII_PATTERNS, in
         # application order; patterns are in the Java-regex/RE2 common

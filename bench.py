@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "embedding_topk",
     "lsh_topk",
     "lang_id",
+    "lang_id_ngram",
     "quality",
     "token_counts",
     "fingerprints",

@@ -38,6 +38,12 @@ def auth_orgs_rows(seed: int = 42) -> list[dict]:
     org_names = {name: country for name, country in pools.AFFILIATIONS}
     for _name, canon, _fr in pools.FUNDERS:
         org_names.setdefault(canon, "GERMANY")
+    # J4: register ONLY the pre-comma prefix of the comma-tailed funder, so
+    # its FundRef link is reachable solely via the truncation-retry tier
+    _comma_name, _comma_fr = pools.FUNDER_COMMA
+    _comma_prefix = _comma_name.split(",", 1)[0].strip()
+    org_names.setdefault(_comma_prefix, "GERMANY")
+    fundref_by_canon[_comma_prefix] = _comma_fr
     for name, country in sorted(org_names.items()):
         aliases = []
         a = _ascii(name)

@@ -409,6 +409,12 @@ def make_record(i: int, seed: int = 42) -> dict:
             grants.append("Open Access funding via Projekt DEAL")
         rec["GRANT"] = grants
 
+    # J4 truncation-retry exercise — index-keyed (no rng draw) so every
+    # other field in the corpus is byte-identical with or without it; the
+    # funder resolves only via the split-at-first-comma retry tier
+    if i % 37 == 11:
+        rec.setdefault("GRANT", []).append(pools.FUNDER_COMMA[0] + " |n 77001")
+
     # --- conferences ---
     if be in ("SS", "SM") and rng.random() < 0.4:
         cname, cplace = rng.choice(pools.CONFERENCES)

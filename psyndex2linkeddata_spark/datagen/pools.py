@@ -103,6 +103,13 @@ FUNDERS = [
     ("National Institutes of Health", "National Institutes of Health", "100000002"),
 ]
 
+# J4 truncation-retry exercise: a funder whose grant-field name carries a
+# comma tail; the org authority registers only the pre-comma prefix, so the
+# FundRef link resolves solely through the reference's split-at-first-comma
+# retry (convert_starxml_to_bf.py:871-877). Kept out of FUNDERS so the
+# rng.choice draws (and thus the rest of the seeded corpus) are unchanged.
+FUNDER_COMMA = ("Stiftung Deutsche Depressionshilfe, Leipzig", "501100023245")
+
 TITLE_HEADS = [
     "Electrophysiological dataset from macaque visual cortical area MST",
     "Effects of cognitive behavioral therapy on anxiety symptoms",

@@ -1,9 +1,11 @@
 """Text-analysis functions for training-data pipelines (documents table):
 language-ID, quality scoring, token counting, document fingerprinting.
 
-All native column expressions (codegen); language-ID reuses the de/en
-stopword heuristic from functions/lang.py (the engine's deterministic
-stand-in for the reference's langid wrapper, helpers.py:159-165).
+All native column expressions (codegen). Two language-ID tiers: `lang_id`
+reuses the de/en stopword heuristic from functions/lang.py (the abstract-
+langtag stand-in for the reference's langid wrapper, helpers.py:159-165);
+`lang_id_ngram` is the full character-trigram profile classifier
+(en/de/fr/es/it/nl) for corpus-scale language tagging.
 """
 
 from __future__ import annotations
@@ -78,6 +80,56 @@ def quality_score(col: Column) -> Column:
         F.round(m, 6).alias("mean_token_len"),
         F.round(score, 6).alias("score"),
     )
+
+
+# F5 full tier — character-trigram profile language ID. The reference wraps
+# the `langid` package (helpers.py:159-165, guess_language); langid itself is
+# a byte-n-gram naive-Bayes model, so the faithful *shape* of a from-scratch
+# stand-in is an n-gram profile vote, not a stopword list. Each language gets
+# a fixed set of distinctive lowercase trigrams (spaces carry word-boundary
+# signal); score = count of non-overlapping profile-trigram hits in the
+# lowercased text (one JVM-side regexp_count per language — all alternatives
+# are length 3, so Java-regex and RE2 agree exactly on the hit count, which
+# is what keeps the DuckDB oracle byte-identical). Winner = highest count,
+# ties broken by _NGRAM_PROFILES order, zero evidence → 'und'.
+_NGRAM_PROFILES: list[tuple[str, list[str]]] = [
+    ("en", ["the", " th", "ing", " an", "ion", " of", "tio", "ent", " to", "was"]),
+    ("de", ["der", "die", "und", "sch", "ich", "ein", "ung", "cht", " ge", "nde"]),
+    ("fr", [" le", "les", "que", " qu", "ait", "eur", "une", " et", "ais", "ont"]),
+    ("es", [" la", "que", "ión", "los", "ado", " co", "ien", "una", " es", "nte"]),
+    ("it", [" di", "che", "ell", "zio", "gli", "lla", " pe", "ito", " il", "nti"]),
+    ("nl", ["een", "het", "aar", "oor", "van", "ijk", "eer", " ze", "ijn", "aan"]),
+]
+
+
+def lang_ngram_counts(col: Column) -> dict[str, Column]:
+    """Per-language non-overlapping profile-trigram hit counts."""
+    s = F.lower(F.coalesce(col, F.lit("")))
+    return {
+        lang: F.regexp_count(s, F.lit("|".join(tris)))
+        for lang, tris in _NGRAM_PROFILES
+    }
+
+
+def lang_id_ngram(col: Column) -> Column:
+    """Trigram-profile language guess over `_NGRAM_PROFILES` (en, de, fr,
+    es, it, nl) — argmax of profile hits, first-in-table wins ties, 'und'
+    when no profile trigram occurs at all. Pure column expression."""
+    counts = lang_ngram_counts(col)
+    langs = [lang for lang, _ in _NGRAM_PROFILES]
+    result = None
+    for lang in langs:
+        c = counts[lang]
+        cond = c > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (c >= counts[other])
+        result = (
+            F.when(cond, F.lit(lang))
+            if result is None
+            else result.when(cond, F.lit(lang))
+        )
+    return result.otherwise(F.lit("und"))
 
 
 def fingerprint(col: Column) -> Column:

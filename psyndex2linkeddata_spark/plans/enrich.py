@@ -219,18 +219,41 @@ def ror_links(triples: DataFrame, auth_orgs: DataFrame) -> DataFrame:
 
 
 def fundref_links(triples: DataFrame, auth_orgs: DataFrame) -> DataFrame:
-    """J3: funder nodes → FundRef DOI identifier nodes
+    """J3+J4: funder nodes → FundRef DOI identifier nodes
     (…_funder_funderid a pxc:FundRefDoi, convert_starxml_to_bf.py:994-1000),
-    keyed on the F28-canonicalized funder name."""
+    keyed on the F28-canonicalized funder name. J4 retry-on-truncation:
+    when the full name finds nothing, the reference re-queries with the
+    name cut at the first comma (convert_starxml_to_bf.py:871-877, the
+    recursive `funder_name.split(",")[0]` branch) — here a second
+    broadcast join on the truncated key, coalesced behind the full-name
+    hit so a full match always wins."""
+    canon = canonicalize_funder_name(F.col("obj"))
     funders = (
         triples.where(
             F.col("subj").endswith("_funder") & (F.col("pred") == NS.RDFS_LABEL)
         )
-        .select("subj", norm_key(canonicalize_funder_name(F.col("obj"))).alias("_key"))
+        .select(
+            "subj",
+            norm_key(canon).alias("_key"),
+            norm_key(
+                F.when(canon.contains(","), F.split(canon, ",").getItem(0))
+            ).alias("_key_trunc"),
+        )
     )
     authority = _org_authority(auth_orgs).where(F.col("fundref_doi").isNotNull())
-    joined = funders.join(F.broadcast(authority), "_key").withColumn(
-        "fnode", F.concat(F.col("subj"), F.lit("_funderid"))
+    trunc_authority = authority.select(
+        F.col("_key").alias("_key_trunc"),
+        F.col("fundref_doi").alias("_fundref_doi_trunc"),
+    )
+    joined = (
+        funders.join(F.broadcast(authority), "_key", "left")
+        .join(F.broadcast(trunc_authority), "_key_trunc", "left")
+        .withColumn(
+            "fundref_doi",
+            F.coalesce(F.col("fundref_doi"), F.col("_fundref_doi_trunc")),
+        )
+        .where(F.col("fundref_doi").isNotNull())
+        .withColumn("fnode", F.concat(F.col("subj"), F.lit("_funderid")))
     )
     return _rows(
         joined,

@@ -1426,7 +1426,12 @@ def apply_cleanup_and_enrich(t: set, authorities: dict | None = None) -> set:
                 adds.add((rn, NS.RDF + "value", r["org_id"], False, None, None))
                 adds.add((s, NS.BF + "identifiedBy", rn, True, None, None))
         if p == NS.RDFS_LABEL and s.endswith("_funder"):
-            r = org_map.get(_norm_key(canonicalize_funder(o)))
+            canon = canonicalize_funder(o)
+            r = org_map.get(_norm_key(canon))
+            if not (r and r.get("fundref_doi")) and "," in canon:
+                # J4 retry-on-truncation: the reference re-queries with the
+                # name cut at the first comma (convert_starxml_to_bf.py:871-877)
+                r = org_map.get(_norm_key(canon.split(",")[0]))
             if r and r.get("fundref_doi"):
                 fn = s + "_funderid"
                 adds.add((fn, NS.RDF_TYPE, NS.PXC + "FundRefDoi", True, None, None))

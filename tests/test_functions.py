@@ -154,6 +154,23 @@ def test_guess_language_heuristic(spark):
     assert got == ["de", "en", "und"]
 
 
+def test_lang_id_ngram_profiles(spark):
+    from psyndex2linkeddata_spark.functions.textstats import lang_id_ngram
+
+    df = corpus_df(spark, [
+        "The results of the study indicate a significant interaction effect.",
+        "Die Untersuchung zeigt einen signifikanten Einfluss der Bedingungen.",
+        "Les résultats montrent que les effets sont significatifs pour une partie.",
+        "Los resultados muestran que los efectos son significativos en una parte.",
+        "I risultati della ricerca mostrano che gli effetti sono significativi.",
+        "Het onderzoek laat zien dat de effecten een belangrijke rol spelen, zijn ze er.",
+        "9 8 7 6 5 4 3",
+        None,
+    ])
+    got = [r[0] for r in df.select(lang_id_ngram(F.col("s"))).collect()]
+    assert got == ["en", "de", "fr", "es", "it", "nl", "und", "und"]
+
+
 def test_camel_case(spark):
     df = corpus_df(spark, ["Preschool Age", "school-age", "Very Old", "adulthood"])
     got = [r[0] for r in df.select(text.camel_case(F.col("s"))).collect()]
