@@ -358,6 +358,19 @@ def q_cdc_chunks(spark, sf):
     return cdc_chunks(d, k=3, divisor=8)
 
 
+def q_pack_sequences(spark, sf):
+    """Sequence packing for LM training (operators/chunking.pack_sequences):
+    md5-hash-shard the documents, concatenate each shard's token stream in
+    doc_id order, cut every 128 tokens — every sequence but each shard's
+    last is exactly full. Native window-cumsum + overlap-explode + groupBy
+    reassembly; the oracle replays the identical md5 sharding, cumsum
+    offsets, and slice arithmetic in DuckDB."""
+    from psyndex2linkeddata_spark.operators.chunking import pack_sequences
+
+    d = _t(spark, sf, "documents")
+    return pack_sequences(d, seq_len=128, n_shards=8)
+
+
 def q_simhash(spark, sf):
     from psyndex2linkeddata_spark.operators.dedup import simhash_hex
 
@@ -691,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "chunk_text": q_chunk_text,
         "cdc_chunks": q_cdc_chunks,
+        "pack_sequences": q_pack_sequences,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
@@ -1005,6 +1019,44 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[k*30+1 : k*30+40], ' ') as chunk_text,
                    cast(len(toks[k*30+1 : k*30+40]) as bigint) as n_tokens
             from c
+        """,
+        # concat-then-cut packing replay: same md5-32bit shard key, same
+        # per-shard cumsum offsets, same inclusive-slice arithmetic
+        # (spark slice(start,len) == duck toks[lo+1 : lo+len])
+        "pack_sequences": r"""
+            with t as (
+              select doc_id,
+                     case when trim(coalesce(text, '')) = ''
+                          then []::varchar[]
+                          else regexp_split_to_array(trim(text), '\s+') end as toks,
+                     cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 8 as int) as shard
+              from documents),
+            o as (
+              select shard, toks, cast(len(toks) as bigint) as n,
+                     cast(sum(len(toks)) over (partition by shard order by doc_id
+                            rows between unbounded preceding and current row)
+                          - len(toks) as bigint) as strt
+              from t where len(toks) > 0),
+            e as (
+              select shard, toks, n, strt,
+                     unnest(generate_series(strt // 128, (strt + n - 1) // 128)) as seq_id
+              from o),
+            s as (
+              select shard, seq_id, strt,
+                     toks[cast(greatest(0, seq_id * 128 - strt) + 1 as int) :
+                          cast(least(n, (seq_id + 1) * 128 - strt) as int)] as piece
+              from e),
+            g as (
+              select shard, seq_id,
+                     flatten(list(piece order by strt)) as seq_toks,
+                     cast(count(*) as bigint) as n_docs
+              from s group by 1, 2)
+            select shard,
+                   cast(seq_id as bigint) as seq_id,
+                   array_to_string(seq_toks, ' ') as seq_text,
+                   cast(len(seq_toks) as bigint) as n_tokens,
+                   n_docs
+            from g
         """,
         "ngram_jaccard": "with "
         + _SHINGLES

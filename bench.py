@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "neardup_clusters",
     "chunk_text",
     "cdc_chunks",
+    "pack_sequences",
     "pii_scrub",
     "repetition",
     "mix_sample",

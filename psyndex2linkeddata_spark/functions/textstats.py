@@ -289,4 +289,15 @@ def with_top_bigram_frac(
         F.size(F.col("__tbf_b")) > 0,
         F.round(max_run / F.size(F.col("__tbf_b")).cast("double"), 4),
     ).otherwise(F.lit(0.0))
+    # PUSHDOWN HAZARD (measured, sf0.1/local[32]): do NOT `.where` on
+    # out_col over a live lineage. PushPredicateThroughNonJoin substitutes
+    # the aliased expression into the predicate with no cheapness check,
+    # so the interpreted aggregate plus the staged token/bigram arrays
+    # (and any upstream scrub chain) re-inline per reference and the
+    # element_at lambda re-evaluates the split per ELEMENT: 1.2s unfiltered
+    # → 19s filtered bare → 152s filtered behind a regex scrub. Filter on
+    # a materialized barrier instead (localCheckpoint / a written table),
+    # where out_col is a stored attribute — plans/corpus.py does exactly
+    # that. (A dummy non-deterministic projection column does NOT protect
+    # this: fixed-point column pruning deletes it before pushdown runs.)
     return sb.select(*keep, frac.alias(out_col))

@@ -150,3 +150,91 @@ def cdc_chunks(
             F.size(F.col("_c")).cast("long").alias("n_tokens"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 64,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Sequence packing for LM training: concatenate the shard's token
+    stream in `id_col` order and cut it every `seq_len` tokens (the
+    "concat-then-cut" packing that pretraining dataloaders apply), so
+    every output row but the shard's last carries exactly `seq_len`
+    tokens and NOTHING is padded or dropped.
+
+    Why shards: a single global stream would serialize the cut through
+    one partition. Documents are hash-sharded (md5 of the id — layout-
+    and engine-independent, same keying as operators/sampling), each
+    shard packs its own stream independently, and the shard count is the
+    parallelism knob: at 10^12 docs you run n_shards ≈ O(cluster cores),
+    each shard's stream is packed by window + groupBy inside one
+    partition's worth of keys, and no task ever materializes more than
+    one row-group of token arrays.
+
+    Plan shape (fully native, no UDF): one window cumsum per shard for
+    each row's global token offset, an explode of the row onto the
+    [first, last] sequence indices it overlaps (a row crosses a cut ⇒ it
+    contributes a slice to both neighbors), then groupBy (shard, seq_id)
+    reassembles the pieces with array_sort on the (offset, piece)
+    structs. Two exchanges total — the window shuffle on `shard` and the
+    groupBy on (shard, seq_id); AQE coalesces both.
+
+    Output: (shard, seq_id, seq_text, n_tokens, n_docs) — n_tokens ==
+    seq_len everywhere except each shard's final partial sequence;
+    n_docs = how many documents contributed (packing lineage).
+    """
+    from pyspark.sql import Window
+
+    if seq_len <= 0 or n_shards <= 0:
+        raise ValueError("require seq_len > 0 and n_shards > 0")
+    toks = tokens(F.col(text_col))
+    shard = F.pmod(
+        _gram_hash32(F.col(id_col).cast("string")), F.lit(n_shards)
+    ).cast("int")
+    base = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        toks.alias("_t"),
+        F.size(toks).cast("long").alias("_n"),
+    ).where(F.col("_n") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = base.withColumn("_start", F.sum("_n").over(w) - F.col("_n"))
+    first = F.floor(F.col("_start") / seq_len).cast("int")
+    last = F.floor((F.col("_start") + F.col("_n") - 1) / seq_len).cast("int")
+    ex = pos.select(
+        "shard",
+        "_t",
+        "_n",
+        "_start",
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    )
+    sid = F.col("seq_id").cast("long")
+    lo = F.greatest(F.lit(0).cast("long"), sid * seq_len - F.col("_start"))
+    take = F.least(F.col("_n"), (sid + 1) * seq_len - F.col("_start")) - lo
+    sliced = ex.select(
+        "shard",
+        "seq_id",
+        "_start",
+        F.slice(F.col("_t"), (lo + 1).cast("int"), take.cast("int")).alias("_piece"),
+    )
+    agg = sliced.groupBy("shard", "seq_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_start"), F.col("_piece")))
+        ).alias("_parts"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    flat = F.flatten(F.transform(F.col("_parts"), lambda p: p["_piece"]))
+    return agg.select(
+        "shard",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.array_join(flat, " ").alias("seq_text"),
+        F.size(flat).cast("long").alias("n_tokens"),
+        "n_docs",
+    )

@@ -62,26 +62,51 @@ def prepare_training_corpus(
     if mix_rates is not None:
         d = stratified_hash_sample(d, mix_rates, strata_col, id_col)
     d = d.withColumn(text_col, scrub_pii(F.col(text_col)))
-    # per-row quality gates, fused into the same projection
+    # Per-row quality signals as COLUMNS, then one materialization, then
+    # the gates as attribute filters. Gating on live expressions instead
+    # lets predicate pushdown substitute the whole signal tree (scrub
+    # regexes, token split, sorted-bigram aggregate) into the filter and
+    # re-evaluate it per reference — and per element inside the HOF
+    # lambdas (see the pushdown-hazard note on with_top_bigram_frac);
+    # measured 21s → ~3s for this gate block at sf0.1/local[32]. The
+    # checkpoint is the same "persist the cleaned corpus once" barrier a
+    # production run pays anyway before the global passes.
     toks = tokens(F.col(text_col))
-    n = F.size(toks)
+    d = d.select("*", toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
     dup_frac = F.when(
-        n > 0, (n - F.size(F.array_distinct(toks))) / n.cast("double")
+        n > 0,
+        (n - F.size(F.array_distinct(F.col("__toks")))) / n.cast("double"),
     ).otherwise(F.lit(0.0))
-    d = d.where((n >= min_tokens) & (dup_frac <= max_dup_word_frac))
+    d = d.select("*", n.alias("__ntok"), dup_frac.alias("__dup")).drop("__toks")
     if max_top_bigram_frac is not None:
-        # per-row gate: sorted-run mode count, no shuffle (textstats)
-        d = (
-            with_top_bigram_frac(d, text_col, "__tbf")
-            .where(F.col("__tbf") <= max_top_bigram_frac)
-            .drop("__tbf")
-        )
+        # per-row signal: sorted-run mode count, no shuffle (textstats)
+        d = with_top_bigram_frac(d, text_col, "__tbf")
+    d = d.localCheckpoint(eager=False)
+    d = d.where(
+        (F.col("__ntok") >= min_tokens) & (F.col("__dup") <= max_dup_word_frac)
+    )
+    if max_top_bigram_frac is not None:
+        d = d.where(F.col("__tbf") <= max_top_bigram_frac).drop("__tbf")
+    d = d.drop("__ntok", "__dup")
     if benchmark is not None:
         bad = contaminated_ids(
             d, benchmark, decontaminate_n, id_col, text_col
         )
         d = d.join(bad, id_col, "left_anti")
     if dedup:
+        # The cleaned corpus is consumed three times below (the LSH pair
+        # edges, the id side of the cluster assignment join, and the
+        # chunker); without a materialization every reference re-executes
+        # the gate/decontamination chain — including the n-gram explode —
+        # from the scan. Lazy localCheckpoint: first use materializes, the
+        # rest read partitions. Together with the signal barrier above,
+        # the composed corpus_prep went 101s → 19s at sf0.1/local[32]. On
+        # a real cluster this is where the prepped corpus would be written
+        # to the warehouse table anyway (sources/warehouse.py) — a
+        # reusable barrier either way. Streaming micro-batches run
+        # dedup=False and never hit it.
+        d = d.localCheckpoint(eager=False)
         keep = neardup_clusters(d, id_col, text_col).where("is_canonical")
         d = d.join(keep.select(id_col), id_col, "left_semi")
     if chunking == "none":

@@ -578,3 +578,54 @@ def test_minhash_bucket_guard(spark):
     guarded = minhash_lsh_pairs(df, num_hashes=8, bands=4, n=3, max_bucket_size=10)
     got = {(r.id_a, r.id_b) for r in guarded.collect()}
     assert got == {(100, 101)}  # boilerplate family excluded, near-dup kept
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-then-cut packing: every sequence but each shard's last is
+    exactly seq_len tokens; the token stream is conserved (nothing padded,
+    dropped, or reordered) — reassembling each shard's sequences in
+    seq_id order reproduces the concatenation of its docs in doc_id
+    order."""
+    from pyspark.sql import Window
+
+    from psyndex2linkeddata_spark.operators.chunking import pack_sequences
+
+    docs = [
+        (i, " ".join(f"w{i}_{j}" for j in range(3 + (i * 11) % 29)))
+        for i in range(40)
+    ] + [(100, ""), (101, "   ")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pack_sequences(df, seq_len=16, n_shards=4).cache()
+
+    w = Window.partitionBy("shard")
+    non_final_short = (
+        out.withColumn("_mx", F.max("seq_id").over(w))
+        .where((F.col("seq_id") < F.col("_mx")) & (F.col("n_tokens") != 16))
+        .count()
+    )
+    assert non_final_short == 0
+
+    # stream conservation + order, per shard, via driver-side replay of
+    # the same md5 shard key
+    rows = {
+        (r.shard, r.seq_id): r.seq_text
+        for r in out.collect()
+    }
+    import hashlib
+
+    def shard_of(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 4
+
+    streams = {}
+    for i, text in docs:
+        toks = text.split()
+        if toks:
+            streams.setdefault(shard_of(i), []).extend(toks)
+    for sh, toks in streams.items():
+        seqs = sorted(k[1] for k in rows if k[0] == sh)
+        assert seqs == list(range(len(seqs)))
+        rebuilt = " ".join(rows[(sh, s)] for s in seqs).split()
+        assert rebuilt == toks
+
+    # blank docs contribute nothing but don't crash
+    assert out.where(F.col("n_tokens") == 0).count() == 0
