@@ -179,8 +179,11 @@ def pack_sequences(
     [first, last] sequence indices it overlaps (a row crosses a cut ⇒ it
     contributes a slice to both neighbors), then groupBy (shard, seq_id)
     reassembles the pieces with array_sort on the (offset, piece)
-    structs. Two exchanges total — the window shuffle on `shard` and the
-    groupBy on (shard, seq_id); AQE coalesces both.
+    structs. ONE exchange total (verified in PLANS.md): the window
+    shuffles on `shard`, and the groupBy's ClusteredDistribution on
+    (shard, seq_id) is already satisfied by that hash partitioning —
+    every (shard, seq_id) group lives inside one shard partition — so the
+    aggregate runs shuffle-free on the window's output.
 
     Output: (shard, seq_id, seq_text, n_tokens, n_docs) — n_tokens ==
     seq_len everywhere except each shard's final partial sequence;

@@ -41,6 +41,8 @@ def main() -> None:
         ("pii_scrub", "native regexp chain fused into the scan projection"),
         ("chunk_text", "sliding-window chunking (one codegen span, zero exchanges)"),
         ("cdc_chunks", "content-defined chunking (staged arrays, zero exchanges)"),
+        ("pack_sequences", "sequence packing (window cumsum + overlap explode + groupBy reassembly)"),
+        ("lang_id_ngram", "trigram-profile language ID (one regexp_count per language, narrow)"),
         ("repetition", "per-row repetition signals (sorted-run mode, zero exchanges)"),
         ("mix_sample", "deterministic stratified sampling (pure narrow filter)"),
         ("decontaminate", "benchmark n-gram check (broadcast left-semi join)"),
