@@ -371,6 +371,38 @@ def q_pack_sequences(spark, sf):
     return pack_sequences(d, seq_len=128, n_shards=8)
 
 
+def q_host_cap(spark, sf):
+    """Web-corpus host hygiene (operators/hosts.py): synthesize a
+    deterministic url per document (both engines build the identical
+    string), drop hosts under a blocklisted suffix via the exploded-
+    suffix broadcast anti-join, then cap each host to its 5 smallest-
+    md5(id) documents through the salted two-phase top-k. The oracle
+    replays host extraction, the generic suffix match, and the exact
+    per-host rank in DuckDB (salting changes the plan, not the result)."""
+    from psyndex2linkeddata_spark.operators.hosts import (
+        cap_per_host,
+        filter_blocked_hosts,
+    )
+
+    d = _t(spark, sf, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(".site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame(
+        [("site3.example.org",), ("blocked.test",)], "host string"
+    )
+    kept = filter_blocked_hosts(urls, bl)
+    return cap_per_host(kept, k=5, n_salts=4).select("doc_id", "host")
+
+
 def q_simhash(spark, sf):
     from psyndex2linkeddata_spark.operators.dedup import simhash_hex
 
@@ -705,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "cdc_chunks": q_cdc_chunks,
         "pack_sequences": q_pack_sequences,
+        "host_cap": q_host_cap,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
@@ -1019,6 +1052,36 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[k*30+1 : k*30+40], ' ') as chunk_text,
                    cast(len(toks[k*30+1 : k*30+40]) as bigint) as n_tokens
             from c
+        """,
+        # host hygiene replay: same synthesized urls, same host regex,
+        # generic dot-suffix blocklist match, exact per-host md5-rank cap
+        "host_cap": r"""
+            with u as (
+              select doc_id,
+                     'https://h' || cast(doc_id % 23 as varchar) || '.site'
+                       || cast(doc_id % 7 as varchar) || '.example.org/p/'
+                       || cast(doc_id as varchar) as url
+              from documents),
+            h as (
+              select doc_id,
+                     lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) as host
+              from u),
+            f as (
+              select doc_id, host from h
+              where len(list_filter(
+                      list_transform(range(1, len(string_split(host, '.')) + 1),
+                        i -> array_to_string(
+                               list_slice(string_split(host, '.'), i,
+                                          len(string_split(host, '.'))), '.')),
+                      x -> list_contains(['site3.example.org', 'blocked.test'], x)
+                    )) = 0),
+            r as (
+              select doc_id, host,
+                     row_number() over (partition by host
+                                        order by md5(cast(doc_id as varchar))) as rn
+              from f)
+            select doc_id, host from r where rn <= 5
         """,
         # concat-then-cut packing replay: same md5-32bit shard key, same
         # per-shard cumsum offsets, same inclusive-slice arithmetic

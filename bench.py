@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "chunk_text",
     "cdc_chunks",
     "pack_sequences",
+    "host_cap",
     "pii_scrub",
     "repetition",
     "mix_sample",

@@ -629,3 +629,46 @@ def test_pack_sequences_invariants(spark):
 
     # blank docs contribute nothing but don't crash
     assert out.where(F.col("n_tokens") == 0).count() == 0
+
+
+def test_host_operators(spark):
+    """hosts.py: extraction edge cases, suffix blocklist semantics, and
+    the salted two-phase cap matching the naive single-window top-k."""
+    from pyspark.sql import Window
+
+    from psyndex2linkeddata_spark.operators.hosts import (
+        cap_per_host,
+        filter_blocked_hosts,
+        host_of,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://A.Example.ORG/x"),
+            (2, "http://user:pw@sub.example.org:8080/y?q=1"),
+            (3, "https://other.test/"),
+            (4, "not a url"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r.h for r in urls.select("doc_id", host_of(F.col("url")).alias("h")).collect()}
+    assert got == {1: "a.example.org", 2: "sub.example.org", 3: "other.test", 4: ""}
+
+    bl = spark.createDataFrame([("example.org",)], "host string")
+    kept = {r.doc_id for r in filter_blocked_hosts(urls, bl).collect()}
+    # suffix match drops 1 and 2 (subdomains of example.org), keeps the rest
+    assert kept == {3, 4}
+
+    # cap: 1000 docs over 3 hosts, one hot host with 900 docs
+    docs = spark.createDataFrame(
+        [(i, f"https://h{0 if i < 900 else i % 2 + 1}.test/p/{i}") for i in range(1000)],
+        "doc_id long, url string",
+    )
+    capped = cap_per_host(docs, k=7, n_salts=4)
+    counts = {r.host: r.c for r in capped.groupBy("host").agg(F.count("*").alias("c")).collect()}
+    assert counts["h0.test"] == 7 and counts["h1.test"] == 7 and counts["h2.test"] == 7
+    # equivalence with the naive exact window
+    staged = docs.withColumn("host", F.lower(F.regexp_extract("url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)))
+    w = Window.partitionBy("host").orderBy(F.md5(F.col("doc_id").cast("string")))
+    naive = staged.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 7)
+    assert {r.doc_id for r in capped.collect()} == {r.doc_id for r in naive.collect()}

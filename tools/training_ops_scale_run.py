@@ -101,9 +101,31 @@ def main() -> None:
     # 4-member families sharing ~594/600 tokens should mostly collapse
     out["dedup_ratio"] = round(1 - canonical / N_DOCS, 3)
 
+    # composed end-to-end prep (plans/corpus.py): the stage the
+    # checkpoint-barrier fix targets — mix → scrub → gates →
+    # decontamination → dedup → CDC chunking as ONE plan
+    from psyndex2linkeddata_spark.plans.corpus import prepare_training_corpus
+
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    t0 = time.time()
+    prep = prepare_training_corpus(
+        docs,
+        benchmark=bench,
+        decontaminate_n=8,
+        min_tokens=20,
+        max_dup_word_frac=0.9,
+        max_top_bigram_frac=0.5,
+        chunking="cdc",
+        cdc_divisor=64,
+    )
+    noop(prep)
+    out["corpus_prep_s"] = round(time.time() - t0, 1)
+    out["n_prep_chunks"] = prep.count()
+
     mtok = N_DOCS * N_TOKENS / 1e6
     out["scrub_mtok_per_s"] = round(mtok / out["scrub_s"], 1)
     out["chunk_mtok_per_s"] = round(mtok / out["cdc_chunks_s"], 1)
+    out["prep_mtok_per_s"] = round(mtok / out["corpus_prep_s"], 1)
     print(json.dumps(out))
 
 
