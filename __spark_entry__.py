@@ -790,8 +790,9 @@ _MINHASH = (
 mh as (
   select doc_id,
          """
+    # seed i = 8 hex chars carved from md5 number i//4 (dedup.seed_hash)
     + ",\n         ".join(
-        f"list_aggregate(list_transform(s, x -> md5('{i}:' || x)), 'min') as m{i}"
+        f"list_aggregate(list_transform(s, x -> substr(md5('{i // 4}:' || x), {(i % 4) * 8 + 1}, 8)), 'min') as m{i}"
         for i in range(8)
     )
     + r"""
@@ -1272,22 +1273,22 @@ def oracle_sql() -> dict[str, str]:
               from cp_g3),
             cp_mh as (
               select doc_id,
-                 list_aggregate(list_transform(s, x -> md5('0:' || x)), 'min') as m0,
-                 list_aggregate(list_transform(s, x -> md5('1:' || x)), 'min') as m1,
-                 list_aggregate(list_transform(s, x -> md5('2:' || x)), 'min') as m2,
-                 list_aggregate(list_transform(s, x -> md5('3:' || x)), 'min') as m3,
-                 list_aggregate(list_transform(s, x -> md5('4:' || x)), 'min') as m4,
-                 list_aggregate(list_transform(s, x -> md5('5:' || x)), 'min') as m5,
-                 list_aggregate(list_transform(s, x -> md5('6:' || x)), 'min') as m6,
-                 list_aggregate(list_transform(s, x -> md5('7:' || x)), 'min') as m7,
-                 list_aggregate(list_transform(s, x -> md5('8:' || x)), 'min') as m8,
-                 list_aggregate(list_transform(s, x -> md5('9:' || x)), 'min') as m9,
-                 list_aggregate(list_transform(s, x -> md5('10:' || x)), 'min') as m10,
-                 list_aggregate(list_transform(s, x -> md5('11:' || x)), 'min') as m11,
-                 list_aggregate(list_transform(s, x -> md5('12:' || x)), 'min') as m12,
-                 list_aggregate(list_transform(s, x -> md5('13:' || x)), 'min') as m13,
-                 list_aggregate(list_transform(s, x -> md5('14:' || x)), 'min') as m14,
-                 list_aggregate(list_transform(s, x -> md5('15:' || x)), 'min') as m15
+                 list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 1, 8)), 'min') as m0,
+                 list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 9, 8)), 'min') as m1,
+                 list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 17, 8)), 'min') as m2,
+                 list_aggregate(list_transform(s, x -> substr(md5('0:' || x), 25, 8)), 'min') as m3,
+                 list_aggregate(list_transform(s, x -> substr(md5('1:' || x), 1, 8)), 'min') as m4,
+                 list_aggregate(list_transform(s, x -> substr(md5('1:' || x), 9, 8)), 'min') as m5,
+                 list_aggregate(list_transform(s, x -> substr(md5('1:' || x), 17, 8)), 'min') as m6,
+                 list_aggregate(list_transform(s, x -> substr(md5('1:' || x), 25, 8)), 'min') as m7,
+                 list_aggregate(list_transform(s, x -> substr(md5('2:' || x), 1, 8)), 'min') as m8,
+                 list_aggregate(list_transform(s, x -> substr(md5('2:' || x), 9, 8)), 'min') as m9,
+                 list_aggregate(list_transform(s, x -> substr(md5('2:' || x), 17, 8)), 'min') as m10,
+                 list_aggregate(list_transform(s, x -> substr(md5('2:' || x), 25, 8)), 'min') as m11,
+                 list_aggregate(list_transform(s, x -> substr(md5('3:' || x), 1, 8)), 'min') as m12,
+                 list_aggregate(list_transform(s, x -> substr(md5('3:' || x), 9, 8)), 'min') as m13,
+                 list_aggregate(list_transform(s, x -> substr(md5('3:' || x), 17, 8)), 'min') as m14,
+                 list_aggregate(list_transform(s, x -> substr(md5('3:' || x), 25, 8)), 'min') as m15
               from cp_sh),
             cp_bands as (
               select doc_id, 0 as band, md5(m0 || '|' || m1 || '|' || m2 || '|' || m3) as bkey from cp_mh

@@ -18,15 +18,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from psyndex2linkeddata_spark.operators.dedup import shingles_of, tokens
+from psyndex2linkeddata_spark.operators.dedup import norm_text, shingle_array
 
 
 def _grams(
     df: DataFrame, text_col: str, n: int, extra_cols: list[str]
 ) -> DataFrame:
     return df.select(
-        *extra_cols, tokens(F.col(text_col)).alias("_toks")
-    ).select(*extra_cols, F.explode(shingles_of(F.col("_toks"), n)).alias("_gram"))
+        *extra_cols, norm_text(F.col(text_col)).alias("_norm")
+    ).select(
+        *extra_cols, F.explode(shingle_array(F.col("_norm"), n)).alias("_gram")
+    )
 
 
 def contaminated_ids(

@@ -57,6 +57,48 @@ def shingles(col: Column, n: int = 3) -> Column:
     return shingles_of(tokens(col), n)
 
 
+def norm_text(col: Column) -> Column:
+    """Lowercased, whitespace-collapsed text — the string whose
+    single-space token stream equals tokens(col)."""
+    return F.regexp_replace(F.lower(F.trim(F.coalesce(col, F.lit("")))), r"\s+", " ")
+
+
+def shingle_array(norm: Column, n: int = 3) -> Column:
+    """SET-equal to shingles_of(tokens(col), n) over norm_text(col), but
+    codegen-only: the transform/slice HOF tower evaluates interpreted and
+    was the hot spot of every shingle consumer (23.6s → 8.2s for 100k ×
+    600-token docs at local[32]). Construction: n interleaved
+    NON-overlapping regexp extractions — offset o strips o leading tokens,
+    then `\\S+( \\S+){n-1}` takes consecutive n-token groups, so offsets
+    0..n-1 together yield every overlapping shingle exactly once —
+    concatenated and array_distinct'ed. Element ORDER differs from
+    shingles_of (interleaved, not positional); every consumer is
+    order-insensitive (min-hash, md5-min fingerprints, set joins). Docs
+    with fewer than n tokens yield the whole normalized text, matching
+    shingles_of's ≥1-element guarantee."""
+    pat = r"\S+(?: \S+){%d}" % (n - 1)
+    arrs = []
+    for o in range(n):
+        s = F.regexp_replace(norm, r"^(?:\S+ ){%d}" % o, "") if o else norm
+        arrs.append(F.regexp_extract_all(s, F.lit(pat), F.lit(0)))
+    allsh = F.concat(*arrs)
+    return F.when(F.size(allsh) > 0, F.array_distinct(allsh)).otherwise(
+        F.array(norm)
+    )
+
+
+def seed_hash(shingle: Column, i: int) -> Column:
+    """Seed-i shingle hash: 8 hex chars (32 bits) carved from md5 number
+    i//4 of the shingle — ONE md5 yields four independent seed hashes, so
+    a 16-hash signature costs 4 md5 evaluations per shingle instead of 16
+    (the md5 itself dominated minhash: 22.9s → 10.1s for the 8-hash
+    signature aggregation at 100k × 600-token docs). String min over
+    fixed-width lowercase hex equals numeric min over the 32-bit value,
+    and DuckDB replays `substr(md5('{j}:' || x), …, 8)` byte-identically."""
+    digest = F.md5(F.concat(F.lit(f"{i // 4}:"), shingle))
+    return F.substring(digest, (i % 4) * 8 + 1, 8)
+
+
 def content_hash(col: Column) -> Column:
     """Exact-dup key: md5 of the raw text."""
     return F.md5(col)
@@ -92,9 +134,7 @@ def minhash_signature(col: Column, num_hashes: int = 16, n: int = 3) -> Column:
     sh = shingles(col, n)
     return F.array(
         *[
-            F.array_min(
-                F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            )
+            F.array_min(F.transform(sh, lambda s: seed_hash(s, i)))
             for i in range(num_hashes)
         ]
     )
@@ -109,18 +149,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, _sig array<string>) MinHash signatures via explode→groupBy.
 
-    One narrow explode of the shingle array, num_hashes codegen'd md5
-    columns per shingle row, then a single groupBy(id).agg(min…) with
-    map-side partial aggregation — one uniform shuffle on the doc id.
-    This is the scale path: the per-row HOF tower (minhash_signature)
-    evaluates interpreted and recomputes the shingle array per seed.
-    `shingles` always yields ≥1 element, so no rows are dropped."""
-    ex = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).select(
-        F.col(id_col), F.explode(shingles_of(F.col("_toks"), n)).alias("_s")
+    One narrow explode of the codegen-built shingle array (shingle_array —
+    no interpreted HOF), ceil(num_hashes/4) md5 digests per shingle row
+    carved into 32-bit seed hashes (seed_hash), then a single
+    groupBy(id).agg(min…) with map-side partial aggregation — one uniform
+    shuffle on the doc id. This is the scale path: the per-row HOF tower
+    (minhash_signature) evaluates interpreted and recomputes the shingle
+    array per seed. `shingle_array` always yields ≥1 element, so no rows
+    are dropped."""
+    ex = df.select(
+        F.col(id_col), norm_text(F.col(text_col)).alias("_norm")
+    ).select(
+        F.col(id_col), F.explode(shingle_array(F.col("_norm"), n)).alias("_s")
     )
     agg = ex.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(f"_m{i}")
+            F.min(seed_hash(F.col("_s"), i)).alias(f"_m{i}")
             for i in range(num_hashes)
         ]
     )
@@ -217,12 +261,13 @@ def ngram_jaccard_pairs(
     a shingle shared by k docs creates k² join rows); None disables the
     guard (and its extra pass) for skew-free corpora.
 
-    The token and shingle arrays are materialized in their own
-    projections so the expensive per-row computation runs once
-    (size+explode reference attributes, not expressions)."""
-    sh = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).select(
-        F.col(id_col), shingles_of(F.col("_toks"), n).alias("_sh")
-    )
+    The normalized text and shingle arrays are materialized in their own
+    projections so the per-row computation runs once (size+explode
+    reference attributes, not expressions); shingle_array keeps the
+    construction codegen-only."""
+    sh = df.select(
+        F.col(id_col), norm_text(F.col(text_col)).alias("_norm")
+    ).select(F.col(id_col), shingle_array(F.col("_norm"), n).alias("_sh"))
     ex = sh.select(
         F.col(id_col),
         F.size("_sh").alias("n_sh"),
