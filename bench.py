@@ -90,6 +90,14 @@ def main() -> None:
     results: dict[str, float] = {}
     queries = entrymod.queries()
     for name in bench_queries:
+        # untimed warm-up run first: whole-stage-codegen compilation and
+        # JVM JIT dominate a query's FIRST execution on a cold JVM
+        # (measured 8.1s → 1.5s for the identical minhash-signature job
+        # back to back), and without this the recorded number mostly
+        # reflects how much earlier queries happened to warm the same
+        # code paths. The timed run then measures data throughput — the
+        # quantity that scales to the design point.
+        _noop_write(queries[name](spark, SF_DIR))
         # construction is inside the timer: iterative operators (connected
         # components) do their driver-loop work during construction
         t0 = time.time()
