@@ -371,6 +371,29 @@ def q_pack_sequences(spark, sf):
     return pack_sequences(d, seq_len=128, n_shards=8)
 
 
+def q_line_dedup(spark, sf):
+    """CCNet-style cross-document line deduplication (operators/dedup.py
+    dedup_lines): both engines append the identical deterministic
+    boilerplate lines (a banner in every doc, a footer shared by a third
+    of them, one unique line), then drop every non-blank line whose
+    normalized form occurs in more than 2 distinct documents, preserving
+    the order of what remains."""
+    from psyndex2linkeddata_spark.operators.dedup import dedup_lines
+
+    d = _t(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nCookie consent banner\nFooter variant "),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("\nunique-"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return dedup_lines(aug, max_docs=2)
+
+
 def q_host_cap(spark, sf):
     """Web-corpus host hygiene (operators/hosts.py): synthesize a
     deterministic url per document (both engines build the identical
@@ -738,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "pack_sequences": q_pack_sequences,
         "host_cap": q_host_cap,
+        "line_dedup": q_line_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
@@ -1053,6 +1077,38 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[k*30+1 : k*30+40], ' ') as chunk_text,
                    cast(len(toks[k*30+1 : k*30+40]) as bigint) as n_tokens
             from c
+        """,
+        # line-dedup replay: same augmented text, same lowercased-trim
+        # line key, same >2-distinct-docs threshold, order-preserving
+        # reassembly via string_agg(... order by pos)
+        "line_dedup": r"""
+            with aug as (
+              select doc_id,
+                     text || chr(10) || 'Cookie consent banner' || chr(10)
+                          || 'Footer variant ' || cast(doc_id % 3 as varchar)
+                          || chr(10) || 'unique-' || cast(doc_id as varchar) as text
+              from documents),
+            ls as (select doc_id, string_split(coalesce(text, ''), chr(10)) as l
+                   from aug),
+            x as (
+              select doc_id, u.pos as pos, u.line as line,
+                     lower(trim(u.line)) as norm
+              from (select doc_id,
+                           unnest(list_transform(range(1, len(l) + 1),
+                                  i -> {'pos': i, 'line': l[i]})) as u
+                    from ls)),
+            hot as (
+              select md5(norm) as k from x where norm <> ''
+              group by 1 having count(distinct doc_id) > 2),
+            kept as (
+              select doc_id, pos, line from x where norm = ''
+              union all
+              select doc_id, pos, line from x
+              where norm <> '' and md5(norm) not in (select k from hot)),
+            r as (select doc_id, string_agg(line, chr(10) order by pos) as text
+                  from kept group by 1)
+            select d.doc_id, coalesce(r.text, '') as text
+            from documents d left join r using (doc_id)
         """,
         # host hygiene replay: same synthesized urls, same host regex,
         # generic dot-suffix blocklist match, exact per-host md5-rank cap

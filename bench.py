@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "cdc_chunks",
     "pack_sequences",
     "host_cap",
+    "line_dedup",
     "pii_scrub",
     "repetition",
     "mix_sample",

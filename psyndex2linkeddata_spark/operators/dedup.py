@@ -428,3 +428,58 @@ def neardup_clusters(
             (cluster == F.col(id_col)).alias("is_canonical"),
         )
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 1,
+) -> DataFrame:
+    """Cross-document LINE deduplication (the CCNet §3.1 boilerplate
+    pass): a line whose normalized form (lowercased, trimmed) appears in
+    MORE than `max_docs` distinct documents is dropped from every
+    document — cookie banners, navigation, footers. Blank lines are
+    always kept (they'd trivially exceed any threshold), and remaining
+    lines keep their original order. Every input document survives, as
+    possibly-empty text, so lineage is 1:1.
+
+    Plan shape: posexplode lines → count distinct docs per line key
+    (map-side partial agg; the key space is the distinct-line set) →
+    left-anti join the hot keys back → groupBy doc reassembles with an
+    array_sort on (pos, line) structs. Two shuffles (key count + doc
+    regroup); the anti join shuffles on the md5 key, uniform by
+    construction. Hot keys are NOT broadcast — at web scale the
+    boilerplate set is itself large.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "_pos", "_line"
+        ),
+    )
+    norm = F.lower(F.trim(F.col("_line")))
+    keyed = lines.withColumn("_blank", norm == "").withColumn("_k", F.md5(norm))
+    hot = (
+        keyed.where(~F.col("_blank"))
+        .groupBy("_k")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") > max_docs)
+        .select("_k")
+    )
+    kept = keyed.where(F.col("_blank")).unionByName(
+        keyed.where(~F.col("_blank")).join(hot, "_k", "left_anti")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_text")
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+    )

@@ -672,3 +672,31 @@ def test_host_operators(spark):
     w = Window.partitionBy("host").orderBy(F.md5(F.col("doc_id").cast("string")))
     naive = staged.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 7)
     assert {r.doc_id for r in capped.collect()} == {r.doc_id for r in naive.collect()}
+
+
+def test_dedup_lines(spark):
+    """CCNet-style line dedup: lines shared by > max_docs docs vanish,
+    blank lines and unique lines survive in order, every doc survives."""
+    from psyndex2linkeddata_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one\nSHARED FOOTER\n\nkeep me 1"),
+            (2, "beta two\nshared footer\nkeep me 2"),   # key is case-folded
+            (3, "gamma three\n  Shared Footer  \nkeep me 3"),  # and trimmed
+            (4, "SHARED FOOTER"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in dedup_lines(docs, max_docs=2).collect()}
+    assert got == {
+        1: "alpha one\n\nkeep me 1",
+        2: "beta two\nkeep me 2",
+        3: "gamma three\nkeep me 3",
+        4: "",
+        5: "",
+    }
+    # threshold respected: at max_docs=4 nothing is hot
+    got4 = {r.doc_id: r.text for r in dedup_lines(docs, max_docs=4).collect()}
+    assert got4[1] == "alpha one\nSHARED FOOTER\n\nkeep me 1"
