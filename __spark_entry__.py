@@ -426,6 +426,78 @@ def q_host_cap(spark, sf):
     return cap_per_host(kept, k=5, n_salts=4).select("doc_id", "host")
 
 
+def q_extract_text(spark, sf):
+    """Web-page text extraction (operators/extraction.py html_to_text):
+    wrap each document's text in real markup (script + style + comment +
+    escaped body) ENGINE-SIDE, then extract it back from the binary html
+    column. The oracle is just the original text — asserting the
+    byte-identical extracted-text-per-url invariant rather than
+    replaying the regex chain."""
+    from psyndex2linkeddata_spark.operators.extraction import html_to_text
+
+    d = _t(spark, sf, "documents")
+    esc = F.replace(F.col("text"), F.lit("&"), F.lit("&amp;"))
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
+    html = F.concat(
+        F.lit(
+            '<html><head><script type="text/javascript">var t = "</pre>";'
+            "</script><style>p > a { color: red; }</style></head>"
+            "<body><!-- capture --><pre>"
+        ),
+        esc,
+        F.lit("</pre></body></html>"),
+    )
+    return d.select(
+        "doc_id", html_to_text(F.encode(html, "UTF-8")).alias("text_out")
+    )
+
+
+def q_snapshot_dedup(spark, sf):
+    """URL canonicalization + latest-capture-per-page dedup
+    (operators/extraction.py canonical_url/latest_snapshot): three raw
+    captures per document (uppercased host + default port + utm params /
+    trailing slash + fragment / click-id params), capture times rotated
+    so each variant wins for a third of the documents; keep the newest
+    per canonical url via the map-side max_by aggregate. The oracle
+    derives winner + canonical form arithmetically from doc_id — no URL
+    string logic shared with the engine."""
+    from psyndex2linkeddata_spark.operators.extraction import latest_snapshot
+
+    d = _t(spark, sf, "documents")
+    tail = F.concat(F.lit("/docs/"), F.col("doc_id").cast("string"))
+    v0 = F.concat(
+        F.lit("HTTPS://CRAWL.Example.org:443"), tail,
+        F.lit("?utm_source=feed&utm_campaign=x"),
+    )
+    v1 = F.concat(F.lit("https://crawl.example.org"), tail, F.lit("/#sec2"))
+    v2 = F.concat(
+        F.lit("https://crawl.example.org"), tail, F.lit("?fbclid=IwAR12&ref=tw")
+    )
+    caps = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(v0.alias("url"), F.lit(0).alias("i")),
+                F.struct(v1.alias("url"), F.lit(1).alias("i")),
+                F.struct(v2.alias("url"), F.lit(2).alias("i")),
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.url").alias("url"),
+        F.timestamp_seconds(
+            F.lit(1500000000)
+            + F.col("doc_id") * 100
+            + ((F.col("c.i") + F.col("doc_id")) % 3) * 10
+        ).alias("warc_ts"),
+    )
+    out = latest_snapshot(caps.drop("doc_id"))
+    return out.select(
+        "canonical_url", "url", F.unix_timestamp("warc_ts").alias("ts")
+    )
+
+
 def q_simhash(spark, sf):
     from psyndex2linkeddata_spark.operators.dedup import simhash_hex
 
@@ -762,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "host_cap": q_host_cap,
         "line_dedup": q_line_dedup,
+        "extract_text": q_extract_text,
+        "snapshot_dedup": q_snapshot_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
@@ -1109,6 +1183,31 @@ def oracle_sql() -> dict[str, str]:
                   from kept group by 1)
             select d.doc_id, coalesce(r.text, '') as text
             from documents d left join r using (doc_id)
+        """,
+        # extraction roundtrip: the oracle is the ORIGINAL text — the
+        # engine must recover it byte-identically from the markup it was
+        # wrapped in (scripts/styles/comments dropped, tags stripped,
+        # entities unescaped)
+        "extract_text": r"""
+            select doc_id, text as text_out from documents
+        """,
+        # snapshot dedup: winner variant + canonical form derived
+        # arithmetically from doc_id (winner is the variant i with
+        # (i + doc_id) % 3 == 2; all three variants canonicalize to the
+        # same plain https url; winning capture offset is always +20s)
+        "snapshot_dedup": r"""
+            select 'https://crawl.example.org/docs/' || cast(doc_id as varchar)
+                     as canonical_url,
+                   case (5 - doc_id % 3) % 3
+                     when 0 then 'HTTPS://CRAWL.Example.org:443/docs/'
+                       || cast(doc_id as varchar) || '?utm_source=feed&utm_campaign=x'
+                     when 1 then 'https://crawl.example.org/docs/'
+                       || cast(doc_id as varchar) || '/#sec2'
+                     else 'https://crawl.example.org/docs/'
+                       || cast(doc_id as varchar) || '?fbclid=IwAR12&ref=tw'
+                   end as url,
+                   cast(1500000000 + doc_id * 100 + 20 as bigint) as ts
+            from documents
         """,
         # host hygiene replay: same synthesized urls, same host regex,
         # generic dot-suffix blocklist match, exact per-host md5-rank cap

@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "pack_sequences",
     "host_cap",
     "line_dedup",
+    "extract_text",
+    "snapshot_dedup",
     "pii_scrub",
     "repetition",
     "mix_sample",

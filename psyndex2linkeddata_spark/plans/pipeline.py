@@ -299,6 +299,7 @@ def build_triples(
     authorities: dict[str, DataFrame] | None = None,
     emit_mode: str | None = None,
     annif: bool = True,
+    repair_text: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → deduplicated triples DF.
 
@@ -313,6 +314,21 @@ def build_triples(
     and a KB-scale plan instead of MB-scale (see emit/arrow.py docstring).
     """
     import os
+
+    # Fetch-layer repair (opt-in): captures that arrive without
+    # extracted text (text NULL) recover it from the raw html column —
+    # a narrow projection that fuses into the scan
+    # (operators/extraction.py, byte-stable mode). Opt-in because it
+    # forces the scan to READ the html column; when the upstream table
+    # already guarantees text, column pruning should keep html out of
+    # the scan entirely.
+    if repair_text and "html" in pages.columns:
+        from psyndex2linkeddata_spark.operators.extraction import html_to_text
+
+        pages = pages.withColumn(
+            "text",
+            F.coalesce(F.col("text"), html_to_text(F.col("html"))),
+        )
 
     mode = emit_mode or os.environ.get("SPARK_GRAFT_EMIT", "arrow")
     if mode == "columns":

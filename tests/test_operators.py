@@ -700,3 +700,108 @@ def test_dedup_lines(spark):
     # threshold respected: at max_docs=4 nothing is hot
     got4 = {r.doc_id: r.text for r in dedup_lines(docs, max_docs=4).collect()}
     assert got4[1] == "alpha one\nSHARED FOOTER\n\nkeep me 1"
+
+
+def test_html_to_text_byte_identical(spark, pages):
+    """The extracted-text-per-url invariant: for every fixture page,
+    html_to_text(html) must equal the stored text column byte-for-byte
+    (datagen wraps text in escaped markup — pages.py text_to_html)."""
+    from psyndex2linkeddata_spark.operators.extraction import html_to_text
+
+    bad = (
+        pages.select(
+            "url", "text", html_to_text(F.col("html")).alias("extracted")
+        )
+        .where("extracted is distinct from text")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_html_to_text_markup_handling(spark):
+    from psyndex2linkeddata_spark.operators.extraction import html_to_text
+
+    cases = [
+        # script/style/comment content dropped, incl. fake closers inside
+        (
+            '<html><head><script>var a = "</div>";</script>'
+            "<style>p > a {}</style></head>"
+            "<body><!-- note -->Hello &amp; welcome</body></html>",
+            "Hello & welcome",
+        ),
+        # entities unescaped AFTER tag strip: literal &lt;b&gt; stays text
+        ("<p>&lt;b&gt; is not a tag</p>", "<b> is not a tag"),
+        # multiline tag bodies
+        ("<div\n class='x'>ok</div>", "ok"),
+    ]
+    df = spark.createDataFrame(cases, "html string, want string")
+    got = df.select(
+        html_to_text(F.col("html"), binary=False).alias("got"), "want"
+    ).collect()
+    for r in got:
+        assert r.got == r.want
+
+    norm = spark.createDataFrame(
+        [("<h1>Title</h1><p>a  b</p>\n\n<p>c</p>",)], "html string"
+    ).select(
+        html_to_text(F.col("html"), binary=False, normalize_ws=True).alias("g")
+    ).head()[0]
+    assert norm == "Title\na b\nc"
+
+
+def test_canonical_url(spark):
+    from psyndex2linkeddata_spark.operators.extraction import canonical_url
+
+    cases = [
+        ("HTTP://Example.COM:80/A/b/?utm_source=x#f", "http://example.com/A/b"),
+        ("https://example.com:443", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        # adjacent tracking params both removed; non-tracking kept in order
+        ("https://h/p?utm_a=1&utm_b=2&z=3&a=4", "https://h/p?z=3&a=4"),
+        ("https://h/p?utm_a=1", "https://h/p"),
+        ("https://h/p?gclid=1&&fbclid=2", "https://h/p"),
+        # path case preserved (case-significant servers); root slash kept
+        ("https://H/", "https://h/"),
+        ("ftp://Host/File", "ftp://host/File"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    for r in df.select(canonical_url(F.col("url")).alias("got"), "want").collect():
+        assert r.got == r.want, r
+
+
+def test_latest_snapshot(spark):
+    import datetime as dt
+
+    from psyndex2linkeddata_spark.operators.extraction import latest_snapshot
+
+    rows = [
+        ("https://H/p?utm_x=1", dt.datetime(2020, 1, 1), "old"),
+        ("https://h/p#top", dt.datetime(2021, 1, 1), "new"),
+        ("https://h/q", dt.datetime(2020, 6, 1), "only"),
+        # exact-ts tie (same canonical): broken by raw url, descending
+        ("https://h/r#x", dt.datetime(2022, 1, 1), "tie-x"),
+        ("https://h/r#y", dt.datetime(2022, 1, 1), "tie-y"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    got = {r.canonical_url: (r.text, r.url) for r in latest_snapshot(df).collect()}
+    assert len(got) == 3
+    assert got["https://h/p"] == ("new", "https://h/p#top")
+    assert got["https://h/q"][0] == "only"
+    assert got["https://h/r"] == ("tie-y", "https://h/r#y")
+
+
+def test_build_triples_repair_text(spark, pages):
+    """repair_text=True recovers NULLed text from html byte-identically:
+    triples from a corpus whose text column was nulled out equal the
+    triples from the intact corpus."""
+    from psyndex2linkeddata_spark.plans.pipeline import build_triples
+
+    subset = pages.orderBy("url").limit(20).cache()
+    want = {tuple(r) for r in build_triples(subset, annif=False).collect()}
+    nulled = subset.withColumn("text", F.lit(None).cast("string"))
+    got = {
+        tuple(r)
+        for r in build_triples(nulled, annif=False, repair_text=True).collect()
+    }
+    assert got == want
+    subset.unpersist()
