@@ -153,3 +153,131 @@ def stream_corpus_chunks(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_latest_snapshot(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark_delay: str = "10 minutes",
+    finalize_grace_ms: int = 0,
+) -> None:
+    """Cross-batch snapshot dedup as a CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState): for every canonical url, keep the newest
+    capture seen so far ACROSS micro-batches, emit an update row whenever
+    a batch improves a key, and emit a `final=true` row (clearing the
+    state) once the event-time watermark passes the key's last update
+    plus `finalize_grace_ms` — i.e. when no in-flight capture can still
+    displace the winner.
+
+    Why stateful and not a groupBy: the batch operator
+    (operators/extraction.latest_snapshot) needs the whole capture set;
+    a crawl stream delivers captures of the same url days apart. Keyed
+    state holds exactly one candidate row per url (bounded by live-url
+    count, evicted on finalize), so state size tracks the frontier, not
+    history. Late captures older than the stored winner are absorbed
+    with no output; captures later than the watermark bound are dropped
+    upstream by the watermark — the standard lateness contract.
+
+    Sink: update-mode rows via foreachBatch into batch_id=<id> dirs
+    (same idempotent at-least-once → exactly-once pattern as
+    stream_triples). The final table is `last_wins` over the update
+    rows; `final=true` rows alone form the closed set.
+    """
+    import pandas as pd
+
+    from psyndex2linkeddata_spark.operators.extraction import canonical_url
+    from psyndex2linkeddata_spark.schema import pages_schema
+
+    pages = (
+        spark.readStream.schema(pages_schema())
+        .format("parquet")
+        .load(pages_dir)
+    )
+    d = pages.withWatermark("warc_ts", watermark_delay)
+    d = d.withColumn("canonical_url", canonical_url(F.col("url")))
+
+    out_schema = (
+        "canonical_url string, url string, warc_ts timestamp, "
+        "text string, lang string, final boolean"
+    )
+    # state: epoch micros (long) + the winning row's payload columns
+    state_schema = "ts long, url string, text string, lang string"
+
+    def fn(key, pdfs, state):
+        canon = key[0]
+        if state.hasTimedOut:
+            ts, url, text, lang = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "canonical_url": canon,
+                        "url": url,
+                        "warc_ts": pd.Timestamp(ts, unit="us"),
+                        "text": text,
+                        "lang": lang,
+                        "final": True,
+                    }
+                ]
+            )
+            return
+        best = state.get if state.exists else None  # (ts_us, url, text, lang)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # newest capture in the batch slice; ties broken by raw url
+            # descending (same ordering as the batch operator's struct key)
+            pdf = pdf.sort_values(["warc_ts", "url"], ascending=False)
+            top = pdf.iloc[0]
+            ts_us = int(pd.Timestamp(top["warc_ts"]).value // 1000)
+            cand = (ts_us, top["url"], top["text"], top["lang"])
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        improved = best is not None and (not state.exists or best != tuple(state.get))
+        if best is not None:
+            state.update(best)
+            # finalize once the watermark passes the winner's event time
+            # (+ grace); EventTimeTimeout requires a timestamp beyond the
+            # current watermark, so never set it in the past.
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(best[0] // 1000 + finalize_grace_ms, wm + 1)
+            )
+        if improved:
+            ts, url, text, lang = best
+            yield pd.DataFrame(
+                [
+                    {
+                        "canonical_url": canon,
+                        "url": url,
+                        "warc_ts": pd.Timestamp(ts, unit="us"),
+                        "text": text,
+                        "lang": lang,
+                        "final": False,
+                    }
+                ]
+            )
+
+    updates = d.groupBy("canonical_url").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="EventTimeTimeout",
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={int(batch_id)}")
+        )
+
+    q = (
+        updates.writeStream.foreachBatch(process_batch)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "snapshot"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -194,3 +194,105 @@ def test_streaming_corpus_chunks(spark, tmp_path_factory):
     g = {(r.doc_id, r.chunk_id, r.chunk_text) for r in got.collect()}
     w = {(r.doc_id, r.chunk_id, r.chunk_text) for r in want.collect()}
     assert g == w
+
+
+def test_stream_latest_snapshot_stateful(spark, tmp_path_factory):
+    """applyInPandasWithState snapshot dedup: winners carry ACROSS
+    micro-batches (keyed state), older late captures are absorbed with
+    no output, and keys finalize (final=true + state eviction) once the
+    watermark passes their event time. Each AvailableNow run produces
+    its data batch plus a trailing no-data batch that fires timeouts."""
+    import datetime as dt
+    import glob
+
+    from psyndex2linkeddata_spark.operators.extraction import latest_snapshot
+    from psyndex2linkeddata_spark.schema import pages_schema
+    from psyndex2linkeddata_spark.streaming.incremental import (
+        stream_latest_snapshot,
+    )
+
+    base = str(tmp_path_factory.mktemp("snapshot_stream"))
+    pages_dir = os.path.join(base, "pages")
+    out_dir = os.path.join(base, "out")
+    ckpt_dir = os.path.join(base, "ckpt")
+    os.makedirs(pages_dir)
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def page(url, minutes, text):
+        return {
+            "url": url,
+            "warc_ts": t0 + dt.timedelta(minutes=minutes),
+            "html": b"",
+            "text": text,
+            "lang": "en",
+        }
+
+    def write_chunk(rows):
+        spark.createDataFrame(rows, schema=pages_schema()).coalesce(
+            1
+        ).write.mode("append").parquet(pages_dir)
+
+    def run():
+        stream_latest_snapshot(
+            spark, pages_dir, out_dir, ckpt_dir, watermark_delay="10 minutes"
+        )
+
+    def outputs():
+        rows = []
+        for d in sorted(glob.glob(os.path.join(out_dir, "batch_id=*"))):
+            bid = int(d.rsplit("=", 1)[1])
+            rows += [(bid, r) for r in spark.read.parquet(d).collect()]
+        return rows
+
+    # run 1: two captures of A (utm variant older), one of B
+    write_chunk(
+        [
+            page("https://a.example.org/p?utm_source=x", 0, "a-old"),
+            page("https://a.example.org/p", 5, "a-new"),
+            page("https://b.example.org/q", 3, "b-only"),
+        ]
+    )
+    run()
+    out1 = outputs()
+    got1 = {r.canonical_url: (r.text, bool(r.final)) for _, r in out1}
+    assert got1 == {
+        "https://a.example.org/p": ("a-new", False),
+        "https://b.example.org/q": ("b-only", False),
+    }
+    n1 = len(out1)
+
+    # run 2: late OLDER capture of A (absorbed silently), newer B, and a
+    # far-future C that pushes the watermark past A/B event times — the
+    # run's trailing timeout batch then emits their final rows
+    write_chunk(
+        [
+            page("https://a.example.org/p#frag", 2, "a-older-late"),
+            page("https://b.example.org/q?utm_c=1", 8, "b-newer"),
+            page("https://c.example.org/r", 600, "c-future"),
+        ]
+    )
+    run()
+    new_rows = outputs()[n1:]
+    updates = {
+        r.canonical_url: r.text for _, r in new_rows if not bool(r.final)
+    }
+    finals = {r.canonical_url: r.text for _, r in new_rows if bool(r.final)}
+    assert updates == {
+        "https://b.example.org/q": "b-newer",
+        "https://c.example.org/r": "c-future",
+    }  # A's older late capture absorbed with no output
+    assert finals == {
+        "https://a.example.org/p": "a-new",
+        "https://b.example.org/q": "b-newer",
+    }
+
+    # closure: last_wins over every update row == batch latest_snapshot
+    # over every capture
+    all_rows = outputs()
+    stream_final = {}
+    for _, r in sorted(all_rows, key=lambda t: (t[1].warc_ts, t[1].url)):
+        stream_final[r.canonical_url] = r.text
+    batch = latest_snapshot(spark.read.parquet(pages_dir))
+    batch_final = {r.canonical_url: r.text for r in batch.collect()}
+    assert stream_final == batch_final
