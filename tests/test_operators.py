@@ -805,3 +805,59 @@ def test_build_triples_repair_text(spark, pages):
     }
     assert got == want
     subset.unpersist()
+
+
+def test_prepare_web_corpus(spark, pages):
+    """Captures → chunks composition: snapshot dedup, NULL-text repair,
+    host blocklist, per-host cap, then the doc-level prep — all in one
+    plan keyed on the canonical url."""
+    from psyndex2linkeddata_spark.plans.corpus import prepare_web_corpus
+
+    base = pages.limit(40).cache()
+    n_base = base.count()
+    # duplicate captures: same page re-crawled later under a utm variant,
+    # with NULL text (must be repaired from html, then LOSE to nothing —
+    # it's the newer capture, so it WINS and its text must come from html)
+    recrawl = base.select(
+        F.concat(F.col("url"), F.lit("?utm_source=recrawl")).alias("url"),
+        (F.col("warc_ts") + F.expr("interval 30 days")).alias("warc_ts"),
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        "lang",
+    )
+    # junk rows on a blocked host
+    blocked = base.select(
+        F.concat(
+            F.lit("https://spam.blocked.test/x/"), F.md5("url")
+        ).alias("url"),
+        "warc_ts", "html", "text", "lang",
+    )
+    caps = base.unionByName(recrawl).unionByName(blocked)
+    bl = spark.createDataFrame([("blocked.test",)], "host string")
+
+    out = prepare_web_corpus(
+        caps,
+        host_blocklist=bl,
+        max_per_host=1000,
+        chunking="none",
+        dedup=False,
+        min_tokens=1,
+    )
+    rows = out.collect()
+    # one row per original page (recrawl merged into the same canonical
+    # url, blocked host gone), text present everywhere (repair path)
+    assert len(rows) == n_base
+    assert all(r.text is not None and r.text != "" for r in rows)
+    # every winner is the recrawl (newer): its raw url carries the utm tag
+    assert all(r.url.endswith("?utm_source=recrawl") for r in rows)
+    # and the repaired text matches the original page text (modulo the
+    # prep plan's PII scrub, applied to both sides here)
+    from psyndex2linkeddata_spark.operators.pii import scrub_pii
+
+    orig = {
+        r.url: r.text
+        for r in base.select("url", scrub_pii(F.col("text")).alias("text")).collect()
+    }
+    for r in rows:
+        assert r.text == orig[r.url.removesuffix("?utm_source=recrawl")]
+    base.unpersist()
