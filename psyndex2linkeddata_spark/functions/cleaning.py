@@ -28,7 +28,8 @@ from psyndex2linkeddata_spark.data.tables import dd_codes
 # handled by unescape_udf (used in the full-fidelity path + equivalence test).
 _BASIC_ENTITIES = [
     ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", "\xa0"),
+    ("&#39;", "'"), ("&#x27;", "'"), ("&apos;", "'"), ("&#34;", '"'),
+    ("&#x22;", '"'), ("&nbsp;", "\xa0"),
     ("&auml;", "ä"), ("&ouml;", "ö"), ("&uuml;", "ü"),
     ("&Auml;", "Ä"), ("&Ouml;", "Ö"), ("&Uuml;", "Ü"), ("&szlig;", "ß"),
     ("&ndash;", "–"), ("&mdash;", "—"), ("&eacute;", "é"), ("&egrave;", "è"),

@@ -733,6 +733,8 @@ def test_html_to_text_markup_handling(spark):
         ("<p>&lt;b&gt; is not a tag</p>", "<b> is not a tag"),
         # multiline tag bodies
         ("<div\n class='x'>ok</div>", "ok"),
+        # html.escape's quote forms (&#x27; / &quot;) roundtrip
+        ("<p>it&#x27;s &quot;quoted&quot;</p>", 'it\'s "quoted"'),
     ]
     df = spark.createDataFrame(cases, "html string, want string")
     got = df.select(

@@ -46,6 +46,8 @@ def main() -> None:
         ("repetition", "per-row repetition signals (sorted-run mode, zero exchanges)"),
         ("mix_sample", "deterministic stratified sampling (pure narrow filter)"),
         ("decontaminate", "benchmark n-gram check (broadcast left-semi join)"),
+        ("extract_text", "html→text extraction (pure scan projection, byte-stable)"),
+        ("snapshot_dedup", "URL canonicalize + latest capture (partial max_by before the one exchange)"),
     ]
     out = ["# PLANS — physical plan evidence (sf0.001, local[8])\n"]
     out.append(
