@@ -536,6 +536,25 @@ def q_lsh_topk(spark, sf):
     return topk.select("query_id", "vec_id", F.round("cos", 4).alias("cos"))
 
 
+def q_ivf_topk(spark, sf):
+    """IVF ANN: deterministic md5-rank seed centroids + one exact-decimal
+    Lloyd refinement (sum-as-centroid — cosine is scale-invariant, and a
+    decimal sum is row-order-independent, unlike a double mean), queries
+    probe their 2 nearest of 8 cells, exact cosine only within probed
+    cells. The DuckDB oracle replays the full train+probe arithmetic."""
+    from psyndex2linkeddata_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 5)
+    topk = ivf_topk(corpus, queries, n_cells=8, n_probes=2, k=5, refine_iters=1)
+    return topk.select("query_id", "vec_id", F.round("cos", 4).alias("cos"), "rank")
+
+
 def q_embedding_neardup(spark, sf):
     """Near-dup pairs via hyperplane-LSH buckets (2 tables × 4 planes) —
     the scale path: no cross join in the plan; candidates share an LSH
@@ -840,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
@@ -1322,6 +1342,63 @@ def oracle_sql() -> dict[str, str]:
             from ranked where rank <= 10
         """,
         "lsh_topk": _lsh_topk_oracle(),
+        "ivf_topk": """
+            -- full replay of ivf_topk(n_cells=8, n_probes=2, k=5,
+            -- refine_iters=1): md5-rank seeds, one Lloyd step with exact
+            -- DECIMAL(28,10) element-wise sums as centroids, 2-probe scan
+            with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+            c0 as (select vec_id, v from e where vec_id >= 5),
+            q as (select vec_id as query_id, v as qv from e where vec_id < 5),
+            seeds as (
+              select row_number() over (order by md5(vec_id::VARCHAR)) - 1 as cell,
+                     v as cv
+              from c0
+              qualify row_number() over (order by md5(vec_id::VARCHAR)) <= 8),
+            a0 as (
+              select vec_id, v, cell from (
+                select c0.vec_id, c0.v, seeds.cell,
+                       row_number() over (
+                         partition by c0.vec_id
+                         order by list_cosine_similarity(c0.v, seeds.cv) desc,
+                                  seeds.cell asc) as rn
+                from c0 cross join seeds) where rn = 1),
+            sums as (
+              select cell, r.range as pos,
+                     sum(v[r.range + 1]::DECIMAL(28,10)) as s
+              from a0 cross join range(64) r
+              group by cell, r.range),
+            cents as (
+              select cell,
+                     list_transform(list(s order by pos), x -> x::DOUBLE) as cv
+              from sums group by cell),
+            a1 as (
+              select vec_id, v, cell from (
+                select c0.vec_id, c0.v, cents.cell,
+                       row_number() over (
+                         partition by c0.vec_id
+                         order by list_cosine_similarity(c0.v, cents.cv) desc,
+                                  cents.cell asc) as rn
+                from c0 cross join cents) where rn = 1),
+            probes as (
+              select query_id, qv, cell from (
+                select q.query_id, q.qv, cents.cell,
+                       row_number() over (
+                         partition by q.query_id
+                         order by list_cosine_similarity(q.qv, cents.cv) desc,
+                                  cents.cell asc) as rn
+                from q cross join cents) where rn <= 2),
+            scored as (
+              select probes.query_id, a1.vec_id,
+                     list_cosine_similarity(a1.v, probes.qv) as cos
+              from a1 join probes using (cell)),
+            ranked as (
+              select query_id, vec_id, cos,
+                     row_number() over (partition by query_id
+                                        order by cos desc, vec_id asc) as rank
+              from scored)
+            select query_id, vec_id, round(cos, 4) as cos, rank
+            from ranked where rank <= 5
+        """,
         "embedding_neardup": f"""
             -- mirrors lsh_cosine_pairs(dims=64, n_planes=4, n_tables=2):
             -- identical inlined plane weights; candidates share a bucket

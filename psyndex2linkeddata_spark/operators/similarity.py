@@ -201,3 +201,151 @@ def lsh_cosine_pairs(
         out = out.unionByName(p)
     # a pair can surface in several tables; cos is deterministic per pair
     return out.dropDuplicates(["id_a", "id_b"]) if n_tables > 1 else out
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def _seed_rank(id_col: str) -> Column:
+    """Deterministic pseudo-random rank for seed selection: md5 of the id's
+    decimal string — engine-, partitioning- and insertion-order-independent
+    (the DuckDB oracle replays it as md5(vec_id::VARCHAR))."""
+    return F.md5(F.col(id_col).cast("string").cast("binary"))
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell:int, centroid:array<double>) — deterministic k-means-style
+    coarse quantizer for `ivf_topk`.
+
+    Seeds are the n_cells corpus vectors with the smallest md5(id) (a
+    layout-independent pseudo-random sample); each Lloyd refinement
+    assigns every vector to its nearest seed by cosine and replaces the
+    centroid with the element-wise SUM of its members. Using the sum
+    instead of the mean keeps the refinement exactly reproducible across
+    engines and run-to-run partitionings: cosine is invariant to positive
+    scaling of the centroid (sum = n·mean), and the sum is computed over
+    decimal(28,10) casts, whose aggregation is exact and therefore
+    independent of row order — a double sum would drift in the low bits
+    with the shuffle layout and could flip a rounded similarity.
+
+    Scale shape: seeds/centroids are tiny (n_cells rows) and broadcast;
+    the assignment pass is a narrow map over the corpus (n_cells
+    comparisons per row, no shuffle); the per-cell sum is one
+    posexplode + groupBy(cell, pos) aggregation — n_cells × dims groups,
+    uniform by construction."""
+    w_rank = Window.orderBy("_rk")
+    cents = (
+        corpus.select(F.col(vec_col), _seed_rank(id_col).alias("_rk"))
+        .orderBy("_rk")
+        .limit(n_cells)
+        .withColumn("cell", F.row_number().over(w_rank) - F.lit(1))
+        .select("cell", F.col(vec_col).cast("array<double>").alias("centroid"))
+    )
+    for _ in range(refine_iters):
+        assigned = assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
+        cents = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col).cast("array<double>"))
+            )
+            .select("cell", "pos", F.col("col").cast("decimal(28,10)").alias("v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda st: st["s"].cast("double"),
+                ).alias("centroid")
+            )
+        )
+    return cents
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """corpus + `cell` = argmax-cosine centroid (ties → lowest cell).
+
+    Centroids are broadcast, so the n_cells-way fan-out never leaves the
+    scan partition; the argmax is `max_by(cell, (cos, -cell))` under a
+    groupBy on the unique corpus id — a hash aggregate whose map-side
+    partial combine collapses each id's n_cells candidate rows locally,
+    so the one exchange carries exactly |corpus| rows (vs a window sort,
+    which would shuffle the full fan-out)."""
+    c = F.broadcast(centroids.select("cell", F.col("centroid").alias("_cv")))
+    scored = corpus.crossJoin(c).withColumn(
+        "_cos", cosine(F.col(vec_col).cast("array<double>"), F.col("_cv"))
+    )
+    return scored.groupBy(id_col, vec_col).agg(
+        F.max_by(
+            F.col("cell"), F.struct(F.col("_cos"), (-F.col("cell")).alias("_nc"))
+        ).alias("cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 64,
+    n_probes: int = 4,
+    k: int = 10,
+    refine_iters: int = 1,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN top-k: (query_id, vec_id, cos, rank ≤ k).
+
+    The inverted-file counterpart to `lsh_cosine_topk`: the corpus is
+    bucketed once by nearest centroid (narrow pass, see assign_cells);
+    each query probes its n_probes closest cells and scans only those
+    lists — the candidate join shuffles the corpus on `cell`, so per
+    query the scan is ~n_probes/n_cells of the corpus instead of all of
+    it. recall < 1 by design, tuned by n_probes. Pass a precomputed
+    `centroids` table to amortize training across query batches (the
+    10^12-row deployment shape: train once, `assign_cells` result stored
+    partitioned by cell)."""
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, n_cells, refine_iters=refine_iters, id_col=id_col, vec_col=vec_col
+        )
+    assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    c = F.broadcast(centroids.select("cell", F.col("centroid").alias("_cv")))
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("_cos").desc(), F.col("cell").asc()
+    )
+    probes = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+        .crossJoin(c)
+        .withColumn("_cos", cosine(F.col("_qvec").cast("array<double>"), F.col("_cv")))
+        .withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_probes)
+        .select(query_id_col, "cell", "_qvec")
+    )
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(
+            F.col(vec_col).cast("array<double>"), F.col("_qvec").cast("array<double>")
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )

@@ -863,3 +863,53 @@ def test_prepare_web_corpus(spark, pages):
     for r in rows:
         assert r.text == orig[r.url.removesuffix("?utm_source=recrawl")]
     base.unpersist()
+
+
+def test_ivf_topk_exact_cos_and_recall(spark):
+    """IVF scores are exact cosines; with n_probes = n_cells it degrades
+    to brute force (recall 1); assignment is repartition-invariant."""
+    import math as _math
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(80, 8).astype(float)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = df.where(F.col("vec_id") >= 2)
+    norms = np.linalg.norm(vecs, axis=1)
+
+    got = similarity.ivf_topk(corpus, queries, n_cells=4, n_probes=2, k=5).collect()
+    assert got, "ivf_topk returned nothing"
+    for r in got:
+        expect = float(
+            vecs[r.query_id] @ vecs[r.vec_id] / (norms[r.query_id] * norms[r.vec_id])
+        )
+        assert _math.isclose(r.cos, expect, rel_tol=1e-9)
+
+    # full-probe IVF == brute force (partition of the corpus into cells)
+    full = similarity.ivf_topk(corpus, queries, n_cells=4, n_probes=4, k=5).collect()
+    brute = similarity.cosine_topk(corpus, queries, k=5).collect()
+    assert {(r.query_id, r.vec_id, r.rank) for r in full} == {
+        (r.query_id, r.vec_id, r.rank) for r in brute
+    }
+
+    # training + assignment must not depend on the input layout
+    cents = similarity.ivf_centroids(corpus, n_cells=4, refine_iters=1)
+    cents_rep = similarity.ivf_centroids(
+        corpus.repartition(7), n_cells=4, refine_iters=1
+    )
+    a = {
+        (r.vec_id, r.cell)
+        for r in similarity.assign_cells(corpus, cents).select("vec_id", "cell").collect()
+    }
+    b = {
+        (r.vec_id, r.cell)
+        for r in similarity.assign_cells(corpus.repartition(5), cents_rep)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert a == b
