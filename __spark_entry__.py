@@ -394,6 +394,28 @@ def q_line_dedup(spark, sf):
     return dedup_lines(aug, max_docs=2)
 
 
+def q_dup_spans(spark, sf):
+    """ExactSubstr-style duplicated-span index (operators/dedup.py
+    duplicate_spans): maximal token runs whose every 8-token window
+    occurs verbatim in ≥2 distinct documents. The oracle replays the
+    gram hashing, distinct-doc counting and adjacent-position merge."""
+    from psyndex2linkeddata_spark.operators.dedup import duplicate_spans
+
+    d = _t(spark, sf, "documents")
+    return duplicate_spans(d, k=8, min_docs=2)
+
+
+def q_strip_spans(spark, sf):
+    """ExactSubstr span removal (strip_duplicate_spans): the duplicated
+    spans of q_dup_spans cut out of each document, kept tokens rejoined
+    with single spaces. The oracle re-derives the spans and reassembles
+    via an anti-joined ordered string_agg."""
+    from psyndex2linkeddata_spark.operators.dedup import strip_duplicate_spans
+
+    d = _t(spark, sf, "documents")
+    return strip_duplicate_spans(d, k=8, min_docs=2).select("doc_id", "clean_text")
+
+
 def q_host_cap(spark, sf):
     """Web-corpus host hygiene (operators/hosts.py): synthesize a
     deterministic url per document (both engines build the identical
@@ -853,6 +875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "host_cap": q_host_cap,
         "line_dedup": q_line_dedup,
+        "dup_spans": q_dup_spans,
+        "strip_spans": q_strip_spans,
         "extract_text": q_extract_text,
         "snapshot_dedup": q_snapshot_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1150,6 +1174,83 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(comp.c, d.doc_id) as cluster_id,
                    (coalesce(comp.c, d.doc_id) = d.doc_id) as is_canonical
             from documents d left join comp on d.doc_id = comp.node
+        """,
+        # mirror of duplicate_spans(k=8, min_docs=2): 16-hex-char gram
+        # hash, distinct-doc count, adjacent-position merge via
+        # lag-flag + running sum
+        "dup_spans": r"""
+            with t as (
+              select doc_id,
+                     list_filter(string_split_regex(trim(coalesce(text,'')), '\s+'),
+                                 x -> len(x) > 0) as toks
+              from documents),
+            g as (
+              select doc_id,
+                     unnest(range(greatest(len(toks) - 7, 0))) as pos, toks
+              from t),
+            gh as (
+              select doc_id, pos,
+                     substr(md5(array_to_string(toks[pos+1:pos+8], ' ')), 1, 16) as h
+              from g),
+            dup as (select h from gh group by h having count(distinct doc_id) >= 2),
+            hits as (select gh.doc_id, gh.pos from gh join dup using (h)),
+            flagged as (
+              select doc_id, pos,
+                     case when lag(pos) over w is null or pos > lag(pos) over w + 1
+                          then 1 else 0 end as newf
+              from hits window w as (partition by doc_id order by pos)),
+            grp as (
+              select doc_id, pos,
+                     sum(newf) over (partition by doc_id order by pos
+                                     rows unbounded preceding) as grp
+              from flagged)
+            select doc_id, min(pos) as start_tok, max(pos) + 8 as end_tok,
+                   count(*) as n_grams
+            from grp group by doc_id, grp
+        """,
+        "strip_spans": r"""
+            with t as (
+              select doc_id,
+                     list_filter(string_split_regex(trim(coalesce(text,'')), '\s+'),
+                                 x -> len(x) > 0) as toks
+              from documents),
+            g as (
+              select doc_id,
+                     unnest(range(greatest(len(toks) - 7, 0))) as pos, toks
+              from t),
+            gh as (
+              select doc_id, pos,
+                     substr(md5(array_to_string(toks[pos+1:pos+8], ' ')), 1, 16) as h
+              from g),
+            dup as (select h from gh group by h having count(distinct doc_id) >= 2),
+            hits as (select gh.doc_id, gh.pos from gh join dup using (h)),
+            flagged as (
+              select doc_id, pos,
+                     case when lag(pos) over w is null or pos > lag(pos) over w + 1
+                          then 1 else 0 end as newf
+              from hits window w as (partition by doc_id order by pos)),
+            grp as (
+              select doc_id, pos,
+                     sum(newf) over (partition by doc_id order by pos
+                                     rows unbounded preceding) as grp
+              from flagged),
+            spans as (
+              select doc_id, min(pos) as start_tok, max(pos) + 8 as end_tok
+              from grp group by doc_id, grp),
+            tok as (
+              select doc_id, unnest(toks) as tok, unnest(range(len(toks))) as pos
+              from t),
+            kept as (
+              select tok.doc_id, tok.tok, tok.pos
+              from tok
+              where not exists (
+                select 1 from spans s
+                where s.doc_id = tok.doc_id
+                  and tok.pos >= s.start_tok and tok.pos < s.end_tok))
+            select t.doc_id,
+                   coalesce(string_agg(k.tok, ' ' order by k.pos), '') as clean_text
+            from t left join kept k using (doc_id)
+            group by t.doc_id
         """,
         # mirror of chunk_tokens(window=40, stride=30): DuckDB list
         # slices are 1-based inclusive, so [k*30+1 : k*30+40] is exactly

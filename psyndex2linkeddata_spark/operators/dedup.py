@@ -483,3 +483,134 @@ def dedup_lines(
         F.col(id_col),
         F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (ExactSubstr à la Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): find maximal
+# token runs that occur verbatim in ≥min_docs documents, and optionally cut
+# them out. The suffix-array of the paper is replaced by a k-gram anchor
+# join — every duplicated run of ≥ span_tokens tokens is a chain of
+# duplicated k-grams, so merging adjacent duplicated k-gram positions
+# recovers exactly the maximal duplicated spans at k-token resolution.
+# ---------------------------------------------------------------------------
+
+
+def span_tokens(col: Column) -> Column:
+    """Case-preserving whitespace tokens (empty strings dropped) — span
+    dedup is case-sensitive, unlike the lowercased `tokens` used by the
+    set-similarity operators."""
+    return F.filter(F.split(F.trim(F.coalesce(col, F.lit(""))), r"\s+"),
+                    lambda t: F.length(t) > 0)
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, start_tok, end_tok, n_grams) — maximal token spans
+    [start_tok, end_tok) (0-based, end-exclusive) in which EVERY k-token
+    window also occurs in ≥ min_docs distinct documents (self included).
+
+    Plan shape: the k-gram fan-out is row-local over a PRE-STAGED token
+    attribute (see shingles_of on why the transform argument must be an
+    attribute); the one real exchange is the groupBy on the 16-hex-char
+    gram hash — uniform by construction, partial map-side count. The
+    join back to positions shuffles on the same key (no new partitioning).
+    Span merging is a per-document window over the few surviving
+    positions, not the full gram stream. Hot grams (boilerplate k-grams
+    in millions of docs) cost a big count but never a pair explosion —
+    there is no self-join anywhere, unlike pair-based dedup.
+    """
+    toks = docs.select(
+        F.col(id_col), span_tokens(F.col(text_col)).alias("_toks")
+    )
+    n_win = F.size(F.col("_toks")) - (k - 1)
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n_win > 0,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+                    lambda i: F.struct(
+                        (i - 1).alias("pos"),
+                        F.substring(
+                            F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))),
+                            1,
+                            16,
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    ).select(F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    hits = grams.join(dup, "h").select(F.col(id_col), "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = hits.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_grp", F.sum("_new").over(w))
+    return (
+        flagged.groupBy(F.col(id_col), F.col("_grp"))
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + k).alias("end_tok"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(id_col, "start_tok", "end_tok", "n_grams")
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    min_span_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """docs + `clean_text`: the whitespace-normalized text with every
+    duplicated span (per duplicate_spans; optionally only spans of
+    ≥ min_span_tokens tokens) cut out. Whitespace inside kept runs is
+    canonicalized to single spaces — the same normalization the span
+    index itself uses, so clean_text's token stream is exactly the kept
+    token subsequence. Pass a precomputed `spans` table to amortize the
+    gram index across consumers (the 10^12-doc shape: build once, strip
+    in the same scan as the other per-doc gates)."""
+    if spans is None:
+        spans = duplicate_spans(
+            docs, k=k, min_docs=min_docs, id_col=id_col, text_col=text_col
+        )
+    if min_span_tokens is not None:
+        spans = spans.where(
+            (F.col("end_tok") - F.col("start_tok")) >= min_span_tokens
+        )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
+    )
+    joined = docs.join(per_doc, id_col, "left")
+    toks = span_tokens(F.col(text_col))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.coalesce(F.col("_spans"), F.array()),
+            lambda s: (i >= s["start_tok"]) & (i < s["end_tok"]),
+        ),
+    )
+    return joined.withColumn("clean_text", F.concat_ws(" ", kept)).drop("_spans")

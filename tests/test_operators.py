@@ -913,3 +913,42 @@ def test_ivf_topk_exact_cos_and_recall(spark):
         .collect()
     }
     assert a == b
+
+
+def test_duplicate_spans_and_strip(spark):
+    """ExactSubstr semantics: maximal cross-doc duplicated runs at
+    k-gram resolution, case-sensitive, strip removes exactly the spans."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa unique one"),
+        (2, "prefix words alpha beta gamma delta epsilon zeta eta theta iota kappa suffix"),
+        (3, "totally different content with no overlap at all whatsoever here now"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta XX iota kappa"),
+        (5, "short text"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in dedup.duplicate_spans(d, k=5).collect()
+    }
+    # docs 1/2 share the full 10-token run; doc 4 only the 8-token prefix
+    # (XX breaks the chain and 'iota kappa' alone is < k); doc 5 has < k
+    # tokens and can never index
+    assert spans == {(1, 0, 10), (2, 2, 12), (4, 0, 8)}
+
+    clean = {
+        r.doc_id: r.clean_text
+        for r in dedup.strip_duplicate_spans(d, k=5).collect()
+    }
+    assert clean[1] == "unique one"
+    assert clean[2] == "prefix words suffix"
+    assert clean[3] == rows[2][1]
+    assert clean[4] == "XX iota kappa"
+    assert clean[5] == "short text"
+
+    # min_span_tokens keeps sub-threshold duplicated runs in place
+    kept = {
+        r.doc_id: r.clean_text
+        for r in dedup.strip_duplicate_spans(d, k=5, min_span_tokens=9).collect()
+    }
+    assert kept[4] == rows[3][1]  # 8-token span < 9 → untouched
+    assert kept[1] == "unique one"  # 10-token span ≥ 9 → stripped
