@@ -262,6 +262,27 @@ def q_neardup_clusters(spark, sf):
     return neardup_clusters(d, num_hashes=8, bands=4, n=3)
 
 
+def q_incremental_neardup(spark, sf):
+    """Incremental near-dup vs a persisted MinHash index (operators/
+    dedup.py incremental_neardup): even doc_ids play the already-indexed
+    corpus (band keys only — the historical text is never re-read), odd
+    doc_ids the new batch. A batch cluster whose ANY member collides with
+    an index bucket is dropped whole (dup_of = smallest indexed id);
+    surviving clusters keep their min-id canonical. The oracle reruns the
+    identical banding in SQL, closes batch pairs with a recursive CTE,
+    and reproduces the cluster-level index-hit fold."""
+    from psyndex2linkeddata_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_band_index,
+    )
+
+    d = _t(spark, sf, "documents")
+    corpus = d.where(F.col("doc_id") % 2 == 0)
+    batch = d.where(F.col("doc_id") % 2 == 1)
+    index = minhash_band_index(corpus, num_hashes=8, bands=4, n=3)
+    return incremental_neardup(batch, index, num_hashes=8, bands=4, n=3)
+
+
 def q_chunk_text(spark, sf):
     """Sliding-window token chunking (operators/chunking.py): W=40
     tokens, stride 30 — pure native split/sequence/slice projection, no
@@ -870,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "neardup_clusters": q_neardup_clusters,
+        "incremental_neardup": q_incremental_neardup,
         "chunk_text": q_chunk_text,
         "cdc_chunks": q_cdc_chunks,
         "pack_sequences": q_pack_sequences,
@@ -1174,6 +1196,42 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(comp.c, d.doc_id) as cluster_id,
                    (coalesce(comp.c, d.doc_id) = d.doc_id) as is_canonical
             from documents d left join comp on d.doc_id = comp.node
+        """,
+        # incremental near-dup: even doc_ids = persisted index, odd = new
+        # batch; identical banding, batch-batch closure via recursive CTE,
+        # cluster-level min index hit
+        "incremental_neardup": "with recursive "
+        + _MINHASH
+        + """,
+            ib as (select * from bands where doc_id % 2 = 0),
+            bb as (select * from bands where doc_id % 2 = 1),
+            pairs as (
+              select distinct a.doc_id as id_a, b.doc_id as id_b
+              from bb a join bb b
+                on a.band = b.band and a.bkey = b.bkey and a.doc_id < b.doc_id),
+            und as (select id_a as s, id_b as d from pairs
+                    union select id_b, id_a from pairs),
+            nd as (select distinct s as node from und),
+            reach(node, lab) as (
+              select node, node from nd
+              union
+              select u.s, r.lab from und u join reach r on u.d = r.node),
+            comp as (select node, min(lab) as c from reach group by node),
+            cl as (
+              select d.doc_id, coalesce(comp.c, d.doc_id) as cluster_id
+              from (select doc_id from documents where doc_id % 2 = 1) d
+              left join comp on d.doc_id = comp.node),
+            hits as (
+              select bb.doc_id, min(ib.doc_id) as hit
+              from bb join ib on bb.band = ib.band and bb.bkey = ib.bkey
+              group by bb.doc_id),
+            chits as (
+              select cl.cluster_id, min(hits.hit) as dup_of
+              from cl left join hits using (doc_id)
+              group by cl.cluster_id)
+            select cl.doc_id, cl.cluster_id, chits.dup_of,
+                   (chits.dup_of is null and cl.doc_id = cl.cluster_id) as accepted
+            from cl join chits using (cluster_id)
         """,
         # mirror of duplicate_spans(k=8, min_docs=2): 16-hex-char gram
         # hash, distinct-doc count, adjacent-position merge via

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "sessionize",
     "minhash_lsh",
     "neardup_clusters",
+    "incremental_neardup",
     "chunk_text",
     "cdc_chunks",
     "pack_sequences",

@@ -614,3 +614,142 @@ def strip_duplicate_spans(
         ),
     )
     return joined.withColumn("clean_text", F.concat_ws(" ", kept)).drop("_spans")
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup against a persisted MinHash index: the shape a
+# continuously-crawling corpus needs — the accepted corpus's LSH band keys
+# live in a partitioned index table, and each NEW batch is filtered against
+# that index (plus within-batch closure) without ever re-shingling the
+# historical corpus. Mirrors the reference's incremental re-run contract
+# (convert_starxml_to_bf.py processes record slices against previously
+# emitted graphs) lifted to corpus dedup.
+# ---------------------------------------------------------------------------
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """(id, band, key) LSH band-key rows — the persisted near-dup index.
+
+    One narrow signature pass (minhash_signatures' explode→groupBy) and a
+    band explode; no join. The RECOMMENDED persisted layout is the
+    min-aggregated form `groupBy(band, key).agg(min(id))` — one row per
+    bucket, idempotent under re-aggregation (min of mins), which is what
+    incremental_neardup reduces the index to internally; keeping raw rows
+    also works and lets the index answer "all members of bucket" queries.
+    At crawl scale, partition/bucket the table by `key` so a batch probe
+    prunes to the buckets it touches."""
+    rows_per_band = num_hashes // bands
+    sigd = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    return sigd.select(
+        F.col(id_col),
+        F.explode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias("b"),
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+
+
+def incremental_neardup(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index_id_col: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    max_bucket_size: int | None = None,
+    use_star: bool = False,
+) -> DataFrame:
+    """Filter a NEW batch of documents against a persisted band-key index.
+
+    Returns one row per batch document:
+      (id_col, cluster_id, dup_of, accepted)
+    - cluster_id: within-batch near-dup cluster representative (LSH pairs
+      closed transitively; singletons are their own cluster);
+    - dup_of:     the smallest indexed id any member of the cluster
+                  collides with (null when the family is new) — the whole
+                  family is considered already-represented when ANY member
+                  hits the index, matching "keep one copy per family";
+    - accepted:   dup_of is null AND the doc is its cluster's canonical
+                  (min id). `where accepted` is the keep-filter; the
+                  accepted docs' band rows (minhash_band_index over them)
+                  are the delta to append to the index.
+
+    Scale shape: the historical corpus is NEVER re-read — only its band
+    keys. The index probe first reduces the index to one min-id row per
+    (band, key) (map-side partial agg; idempotent if the caller already
+    persists the aggregated form), so a boilerplate bucket with millions
+    of indexed members joins as ONE row — the probe is linear in the
+    batch's band rows and skew-proof by construction. The within-batch
+    self-join is the standard banded bucket join with the same optional
+    `max_bucket_size` guard as minhash_lsh_pairs. Both shuffles key on
+    uniform md5 band keys; the closure runs over batch-batch pairs only
+    (pairs ≪ batch ≪ corpus)."""
+    from psyndex2linkeddata_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    index_id_col = index_id_col or id_col
+    bandrows = minhash_band_index(batch, id_col, text_col, num_hashes, bands, n)
+
+    # within-batch candidate pairs + transitive closure
+    joinable = bandrows
+    if max_bucket_size is not None:
+        small = (
+            bandrows.groupBy("band", "key")
+            .count()
+            .where(F.col("count") <= max_bucket_size)
+            .select("band", "key")
+        )
+        joinable = bandrows.join(small, ["band", "key"])
+    a, b = joinable.alias("a"), joinable.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    cc = connected_components_star if use_star else connected_components
+    comp = cc(pairs, src="id_a", dst="id_b")
+    clusters = (
+        batch.select(id_col)
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+    # index probe: min indexed id per bucket, then per batch doc, then
+    # per batch cluster
+    idx_min = index.groupBy("band", "key").agg(
+        F.min(F.col(index_id_col)).alias("_idx")
+    )
+    hits = (
+        bandrows.join(idx_min, ["band", "key"])
+        .groupBy(id_col)
+        .agg(F.min("_idx").alias("_hit"))
+    )
+    cluster_hits = (
+        clusters.join(hits, id_col, "left")
+        .groupBy("cluster_id")
+        .agg(F.min("_hit").alias("dup_of"))
+    )
+    return clusters.join(cluster_hits, "cluster_id").select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.col("dup_of"),
+        (F.col("dup_of").isNull() & (F.col(id_col) == F.col("cluster_id"))).alias(
+            "accepted"
+        ),
+    )

@@ -109,7 +109,9 @@ def stream_corpus_chunks(
     micro-batch can't see; they run as the periodic batch compaction
     over the accumulated chunk table (plans/corpus.py), which is how a
     production crawl pipeline splits it too — stream the cheap hygiene,
-    compact the global passes.
+    compact the global passes. (stream_neardup_filter is the exception
+    that proves the rule: near-dup CAN stream when the global state is
+    externalized into a persisted band-key index.)
 
     Same idempotency contract as stream_triples: per-batch overwrite
     into batch_id=<id> directories, so at-least-once foreachBatch
@@ -277,6 +279,105 @@ def stream_latest_snapshot(
         updates.writeStream.foreachBatch(process_batch)
         .outputMode("update")
         .option("checkpointLocation", os.path.join(checkpoint_dir, "snapshot"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_neardup_filter(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming near-dup admission against a PERSISTED MinHash index —
+    the streaming answer to the corpus-global-state problem that keeps
+    near-dup out of stream_corpus_chunks: the global state is exactly the
+    accepted corpus's LSH band keys, persisted as a partitioned index
+    table and grown per micro-batch, so no batch ever re-reads (or
+    re-shingles) the historical corpus.
+
+    Per micro-batch (foreachBatch runs batches serially):
+      1. read the index rows of STRICTLY EARLIER batches
+         (`batch_id < current` over the partition column — a re-run of a
+         crashed batch therefore never collides with its own previous
+         half-written delta);
+      2. incremental_neardup(batch, index): cluster the batch, drop any
+         cluster that collides with an index bucket, keep cluster minima;
+      3. overwrite accepted docs into accepted/batch_id=<id> and the
+         accepted docs' min-aggregated band keys into
+         index/batch_id=<id>.
+    Overwrite-per-batch_id keeps the at-least-once foreachBatch contract
+    effectively exactly-once, same as stream_triples.
+
+    Admission is arrival-order-dependent BY DESIGN (first copy crawled
+    wins — the index is the tie-break), unlike the batch neardup_clusters
+    pass where min doc_id wins globally; within one micro-batch the
+    batch-operator determinism (min id per cluster) applies.
+    """
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from psyndex2linkeddata_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_band_index,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    docs = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(docs_dir)
+    )
+    index_dir = os.path.join(out_dir, "index")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            index = (
+                spark.read.parquet(index_dir)
+                .where(F.col("batch_id") < int(batch_id))
+                .select("doc_id", "band", "key")
+            )
+        except Exception:  # first batch: no index yet
+            index = spark.createDataFrame(
+                [],
+                "doc_id long, band int, key string",
+            )
+        verdict = incremental_neardup(
+            batch_df, index, num_hashes=num_hashes, bands=bands, n=n
+        )
+        accepted = batch_df.join(
+            verdict.where("accepted").select("doc_id"), "doc_id"
+        )
+        # one pass computes both outputs; cache to avoid re-shingling
+        accepted = accepted.localCheckpoint(eager=True)
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "accepted", f"batch_id={int(batch_id)}")
+        )
+        delta = (
+            minhash_band_index(
+                accepted, num_hashes=num_hashes, bands=bands, n=n
+            )
+            .groupBy("band", "key")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        delta.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch_id={int(batch_id)}")
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "neardup"))
         .trigger(availableNow=True)
         .start()
     )

@@ -447,6 +447,48 @@ def test_neardup_clusters(spark):
         assert got[3] == (3, True)
 
 
+def test_incremental_neardup_family_kill(spark):
+    """Cluster-level index fold: when any NON-min member of a batch
+    cluster collides with the index, the WHOLE family is rejected
+    (dup_of = the indexed id), and fresh families keep their min id."""
+    from psyndex2linkeddata_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_band_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    fresh = "totally different words about spark shuffles and parquet files"
+    # index holds doc 100 = near-dup of `base + extra` (collides with
+    # batch doc 12, NOT with batch doc 11)
+    corpus = spark.createDataFrame(
+        [(100, base + " extra")], "doc_id long, text string"
+    )
+    index = minhash_band_index(corpus, num_hashes=8, bands=4, n=3)
+    batch = spark.createDataFrame(
+        [
+            (11, base.replace("dog", "cat")),  # chains to 12 via bands
+            (12, base + " extra"),             # index hit
+            (13, fresh),
+            (14, fresh + " two"),              # within-batch near-dup of 13
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.dup_of, r.accepted)
+        for r in incremental_neardup(
+            batch, index, num_hashes=8, bands=4, n=3
+        ).collect()
+    }
+    assert len(got) == 4
+    # 11+12 form one cluster; 12 hits indexed 100 -> whole family killed,
+    # INCLUDING the cluster-min 11 that never touched the index itself
+    assert got[11][0] == got[12][0] == 11
+    assert got[11] == (11, 100, False) and got[12] == (11, 100, False)
+    # 13+14 fresh family: min id accepted, the other rejected, no dup_of
+    assert got[13] == (13, None, True)
+    assert got[14] == (13, None, False)
+
+
 def test_cdc_chunks_stability(spark):
     """Content-defined boundaries depend only on local k-grams: after a
     prefix edit, every chunk past the first boundary is byte-identical —

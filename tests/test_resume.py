@@ -296,3 +296,45 @@ def test_stream_latest_snapshot_stateful(spark, tmp_path_factory):
     batch = latest_snapshot(spark.read.parquet(pages_dir))
     batch_final = {r.canonical_url: r.text for r in batch.collect()}
     assert stream_final == batch_final
+
+
+def test_stream_neardup_filter(spark, tmp_path_factory):
+    """Streaming near-dup admission against the persisted MinHash index:
+    wave-2 docs duplicating wave-1 texts are rejected via the INDEX (the
+    historical docs are never re-read); within-batch dups keep the min id;
+    fresh texts pass. Two AvailableNow invocations = index grown across
+    runs through the checkpoint."""
+    import os
+
+    from psyndex2linkeddata_spark.streaming.incremental import (
+        stream_neardup_filter,
+    )
+
+    base = str(tmp_path_factory.mktemp("stream_neardup"))
+    docs_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("docs", "out", "ckpt"))
+    os.makedirs(docs_dir)
+
+    t_fox = "the quick brown fox jumps over the lazy dog near the river"
+    t_ship = "ancient ships carried copper ingots across the wine dark sea"
+    t_comet = "a bright comet crossed the northern sky before dawn yesterday"
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(docs_dir)
+
+    write([(1, t_fox), (2, t_ship)])
+    stream_neardup_filter(spark, docs_dir, out_dir, ckpt, num_hashes=8, bands=4)
+    acc1 = spark.read.parquet(os.path.join(out_dir, "accepted"))
+    assert {r.doc_id for r in acc1.collect()} == {1, 2}
+
+    # doc 3 duplicates wave-1 doc 1 (index hit); 4 is fresh; 5 duplicates
+    # 4 within the batch (cluster min 4 wins)
+    write([(3, t_fox), (4, t_comet), (5, t_comet)])
+    stream_neardup_filter(spark, docs_dir, out_dir, ckpt, num_hashes=8, bands=4)
+    acc = spark.read.parquet(os.path.join(out_dir, "accepted"))
+    assert {r.doc_id for r in acc.collect()} == {1, 2, 4}
+
+    # the index holds band keys for exactly the accepted docs
+    idx = spark.read.parquet(os.path.join(out_dir, "index"))
+    assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == {1, 2, 4}
