@@ -262,6 +262,20 @@ def q_neardup_clusters(spark, sf):
     return neardup_clusters(d, num_hashes=8, bands=4, n=3)
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup (operators/similarity.semantic_dedup): IVF-cell quantize
+    → within-cell cosine≥0.35 pairs → closure → keep the member least
+    similar to its centroid. The oracle replays the identical exact-
+    decimal centroid training and the cell-confined pair/closure/keeper
+    arithmetic in DuckDB."""
+    from psyndex2linkeddata_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return semantic_dedup(e, n_cells=8, threshold=0.35, refine_iters=1)
+
+
 def q_incremental_neardup(spark, sf):
     """Incremental near-dup vs a persisted MinHash index (operators/
     dedup.py incremental_neardup): even doc_ids play the already-indexed
@@ -892,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "neardup_clusters": q_neardup_clusters,
         "incremental_neardup": q_incremental_neardup,
+        "semantic_dedup": q_semantic_dedup,
         "chunk_text": q_chunk_text,
         "cdc_chunks": q_cdc_chunks,
         "pack_sequences": q_pack_sequences,
@@ -1557,6 +1572,73 @@ def oracle_sql() -> dict[str, str]:
               from scored)
             select query_id, vec_id, round(cos, 4) as cos, rank
             from ranked where rank <= 5
+        """,
+        # SemDeDup replay: same train/assign CTEs as ivf_topk but over the
+        # WHOLE embeddings table; within-cell cos>=0.35 pairs closed with a
+        # recursive CTE; keeper = min (centroid-cos, vec_id) per cluster
+        "semantic_dedup": """
+            with recursive
+            e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+            seeds as (
+              select row_number() over (order by md5(vec_id::VARCHAR)) - 1 as cell,
+                     v as cv
+              from e
+              qualify row_number() over (order by md5(vec_id::VARCHAR)) <= 8),
+            a0 as (
+              select vec_id, v, cell from (
+                select e.vec_id, e.v, seeds.cell,
+                       row_number() over (
+                         partition by e.vec_id
+                         order by list_cosine_similarity(e.v, seeds.cv) desc,
+                                  seeds.cell asc) as rn
+                from e cross join seeds) where rn = 1),
+            sums as (
+              select cell, r.range as pos,
+                     sum(v[r.range + 1]::DECIMAL(28,10)) as s
+              from a0 cross join range(64) r
+              group by cell, r.range),
+            cents as (
+              select cell,
+                     list_transform(list(s order by pos), x -> x::DOUBLE) as cv
+              from sums group by cell),
+            a1 as (
+              select vec_id, v, cell from (
+                select e.vec_id, e.v, cents.cell,
+                       row_number() over (
+                         partition by e.vec_id
+                         order by list_cosine_similarity(e.v, cents.cv) desc,
+                                  cents.cell asc) as rn
+                from e cross join cents) where rn = 1),
+            wc as (
+              select a1.vec_id, a1.v, a1.cell,
+                     list_cosine_similarity(a1.v, cents.cv) as ccos
+              from a1 join cents using (cell)),
+            pairs as (
+              select a.vec_id as id_a, b.vec_id as id_b
+              from a1 a join a1 b
+                on a.cell = b.cell and a.vec_id < b.vec_id
+              where list_cosine_similarity(a.v, b.v) >= 0.35),
+            und as (select id_a as s, id_b as d from pairs
+                    union select id_b, id_a from pairs),
+            nd as (select distinct s as node from und),
+            reach(node, lab) as (
+              select node, node from nd
+              union
+              select u.s, r.lab from und u join reach r on u.d = r.node),
+            comp as (select node, min(lab) as c from reach group by node),
+            cl as (
+              select wc.vec_id, coalesce(comp.c, wc.vec_id) as cluster_id,
+                     wc.ccos
+              from wc left join comp on wc.vec_id = comp.node),
+            keep as (
+              select cluster_id, vec_id as canonical_id from (
+                select cluster_id, vec_id,
+                       row_number() over (partition by cluster_id
+                                          order by ccos asc, vec_id asc) as rn
+                from cl) where rn = 1)
+            select cl.vec_id, cl.cluster_id, keep.canonical_id,
+                   (cl.vec_id = keep.canonical_id) as is_canonical
+            from cl join keep using (cluster_id)
         """,
         "embedding_neardup": f"""
             -- mirrors lsh_cosine_pairs(dims=64, n_planes=4, n_tables=2):

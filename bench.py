@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "minhash_lsh",
     "neardup_clusters",
     "incremental_neardup",
+    "semantic_dedup",
     "chunk_text",
     "cdc_chunks",
     "pack_sequences",

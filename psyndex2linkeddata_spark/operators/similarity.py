@@ -349,3 +349,89 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    refine_iters: int = 1,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_star: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): quantize the corpus into IVF cells, find
+    within-cell pairs with cosine ≥ threshold, close them transitively,
+    and keep ONE representative per cluster — per the paper's rule, the
+    member LEAST similar to its cell centroid (it preserves the most
+    diversity), with the id as the deterministic tie-break.
+
+    Returns (id, cluster_id, canonical_id, is_canonical) for every input
+    vector; `where is_canonical` is the keep-filter.
+
+    Scale shape: the quadratic part is confined to cells (the paper's
+    own approximation — cross-cell near-dups are deliberately missed, so
+    recall is tuned by n_cells): the pair join shuffles on `cell`, and a
+    cell of k vectors contributes k² candidate rows — size n_cells so
+    that corpus/n_cells stays bounded (SemDeDup uses ~0.1% of corpus
+    size). Centroid training is the deterministic exact-decimal Lloyd
+    step of ivf_centroids (broadcast centroids, narrow assignment);
+    pass a precomputed `centroids` table to amortize across corpus
+    slices. The closure runs over above-threshold pairs only."""
+    from psyndex2linkeddata_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, n_cells, refine_iters=refine_iters, id_col=id_col, vec_col=vec_col
+        )
+    assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    c = F.broadcast(centroids.select("cell", F.col("centroid").alias("_cv")))
+    withc = assigned.join(c, "cell").select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell"),
+        cosine(F.col(vec_col).cast("array<double>"), F.col("_cv")).alias("_ccos"),
+    )
+    a = withc.select(
+        F.col("cell"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    b = withc.select(
+        F.col("cell"), F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    pairs = (
+        a.join(b, ["cell"])
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(
+            cosine(
+                F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")
+            )
+            >= F.lit(threshold)
+        )
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+    )
+    cc = connected_components_star if use_star else connected_components
+    comp = cc(pairs, src="id_a", dst="id_b")
+    cl = (
+        withc.join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+            F.col("_ccos"),
+        )
+    )
+    keep = cl.groupBy("cluster_id").agg(
+        F.min_by(F.col(id_col), F.struct(F.col("_ccos"), F.col(id_col))).alias(
+            "canonical_id"
+        )
+    )
+    return cl.join(keep, "cluster_id").select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.col("canonical_id"),
+        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+    )

@@ -489,6 +489,44 @@ def test_incremental_neardup_family_kill(spark):
     assert got[14] == (13, None, False)
 
 
+def test_semantic_dedup_keeper_rule(spark):
+    """SemDeDup keep-rule: within a closed near-dup cluster the CANONICAL
+    member is the one LEAST similar to its cell centroid (diversity-
+    preserving, per the paper), ties broken by id; singletons keep
+    themselves. Expected values computed independently with numpy."""
+    import numpy as np
+
+    from psyndex2linkeddata_spark.operators.similarity import semantic_dedup
+
+    vecs = {
+        1: [1.0, 0.0, 0.0, 0.0],
+        2: [0.98, 0.199, 0.0, 0.0],   # near-dup of 1
+        3: [0.9, 0.436, 0.0, 0.0],    # near-dup of 2 (chains to 1)
+        4: [0.0, 0.0, 1.0, 0.0],      # singleton
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.vec_id: (r.cluster_id, r.canonical_id, r.is_canonical)
+        for r in semantic_dedup(df, n_cells=1, threshold=0.95).collect()
+    }
+    assert len(got) == 4
+    # one cell: centroid = elementwise sum of all four vectors
+    cent = np.sum([np.array(v) for v in vecs.values()], axis=0)
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cluster = [1, 2, 3]  # 1~2 and 2~3 above 0.95; 1~3 is 0.9 but closure chains
+    expected_keeper = min(cluster, key=lambda i: (cos(vecs[i], cent), i))
+    for i in cluster:
+        assert got[i][0] == 1
+        assert got[i][1] == expected_keeper
+        assert got[i][2] is (i == expected_keeper)
+    assert got[4] == (4, 4, True)
+
+
 def test_cdc_chunks_stability(spark):
     """Content-defined boundaries depend only on local k-grams: after a
     prefix edit, every chunk past the first boundary is byte-identical —
