@@ -382,3 +382,41 @@ def stream_neardup_filter(
         .start()
     )
     q.awaitTermination()
+
+
+def compact_neardup_index(spark: SparkSession, out_dir: str) -> int:
+    """Compact the stream_neardup_filter index: fold every batch_id
+    partition into ONE min-aggregated partition (min of per-batch mins =
+    the global min — the aggregation is idempotent by design), keeping
+    the `batch_id < current` read contract intact by labeling the
+    compacted partition with the LARGEST batch_id seen so far (future
+    batch ids only grow, so every later batch still reads it).
+
+    Run between AvailableNow invocations (the stream is quiescent then).
+    Returns the number of rows in the compacted index. On a real
+    warehouse this is the table format's rewrite-files action (e.g.
+    Iceberg rewriteDataFiles) against the same aggregation; here the
+    swap is two local renames."""
+    import shutil
+
+    index_dir = os.path.join(out_dir, "index")
+    parts = sorted(
+        p for p in os.listdir(index_dir) if p.startswith("batch_id=")
+    )
+    if not parts:
+        return 0
+    max_id = max(int(p.split("=", 1)[1]) for p in parts)
+    compacted = (
+        spark.read.parquet(*(os.path.join(index_dir, p) for p in parts))
+        .groupBy("band", "key")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "band", "key")
+    )
+    tmp = index_dir + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    compacted.write.parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    for p in parts:
+        shutil.rmtree(os.path.join(index_dir, p))
+    os.rename(tmp, os.path.join(index_dir, f"batch_id={max_id}"))
+    return n

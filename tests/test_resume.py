@@ -338,3 +338,17 @@ def test_stream_neardup_filter(spark, tmp_path_factory):
     # the index holds band keys for exactly the accepted docs
     idx = spark.read.parquet(os.path.join(out_dir, "index"))
     assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == {1, 2, 4}
+
+    # compact the two batch partitions into one; a third wave must still
+    # see wave-1 history through the compacted index
+    from psyndex2linkeddata_spark.streaming.incremental import (
+        compact_neardup_index,
+    )
+
+    n = compact_neardup_index(spark, out_dir)
+    assert n > 0
+    assert os.listdir(os.path.join(out_dir, "index")) == ["batch_id=1"]
+    write([(6, t_ship), (7, "fresh snow fell quietly on the old stone bridge")])
+    stream_neardup_filter(spark, docs_dir, out_dir, ckpt, num_hashes=8, bands=4)
+    acc = spark.read.parquet(os.path.join(out_dir, "accepted"))
+    assert {r.doc_id for r in acc.collect()} == {1, 2, 4, 7}

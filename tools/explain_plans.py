@@ -47,6 +47,8 @@ def main() -> None:
         ("mix_sample", "deterministic stratified sampling (pure narrow filter)"),
         ("decontaminate", "benchmark n-gram check (broadcast left-semi join)"),
         ("extract_text", "html→text extraction (pure scan projection, byte-stable)"),
+        ("incremental_neardup", "incremental near-dup vs persisted index (pre-aggregated index probe + batch band self-join)"),
+        ("semantic_dedup", "SemDeDup (broadcast centroids, cell-confined pair join, closure)"),
         ("snapshot_dedup", "URL canonicalize + latest capture (partial max_by before the one exchange)"),
     ]
     out = ["# PLANS — physical plan evidence (sf0.001, local[8])\n"]
