@@ -273,7 +273,7 @@ def q_semantic_dedup(spark, sf):
     e = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return semantic_dedup(e, n_cells=8, threshold=0.35, refine_iters=1)
+    return semantic_dedup(e, n_cells=32, threshold=0.35, refine_iters=1)
 
 
 def q_incremental_neardup(spark, sf):
@@ -1583,7 +1583,7 @@ def oracle_sql() -> dict[str, str]:
               select row_number() over (order by md5(vec_id::VARCHAR)) - 1 as cell,
                      v as cv
               from e
-              qualify row_number() over (order by md5(vec_id::VARCHAR)) <= 8),
+              qualify row_number() over (order by md5(vec_id::VARCHAR)) <= 32),
             a0 as (
               select vec_id, v, cell from (
                 select e.vec_id, e.v, seeds.cell,

@@ -389,27 +389,45 @@ def semantic_dedup(
         centroids = ivf_centroids(
             corpus, n_cells, refine_iters=refine_iters, id_col=id_col, vec_col=vec_col
         )
+    # materialize the quantizer (n_cells rows): it is consumed by the
+    # assignment, the _ccos projection and the broadcast below, and
+    # recomputing the Lloyd training per consumer triples the cost
+    centroids = centroids.localCheckpoint(eager=True)
     assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
     c = F.broadcast(centroids.select("cell", F.col("centroid").alias("_cv")))
+    # per-row norm staged ONCE: the pair predicate then evaluates only the
+    # dot product — dot/(na·nb) is the exact same double arithmetic as
+    # cosine(va, vb) (norms are per-vector values), at a third of the
+    # interpreted-HOF traversals per candidate pair (the quadratic part)
     withc = assigned.join(c, "cell").select(
         F.col(id_col),
-        F.col(vec_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
         F.col("cell"),
         cosine(F.col(vec_col).cast("array<double>"), F.col("_cv")).alias("_ccos"),
+        norm(F.col(vec_col).cast("array<double>")).alias("_nrm"),
     )
+    # the assignment table feeds BOTH pair sides, the cluster join and the
+    # keeper fold — materialize it once (this is also the deployment
+    # shape: SemDeDup stores the cluster-assignment table and runs the
+    # per-cell pass over it, rather than re-quantizing per consumer)
+    withc = withc.localCheckpoint(eager=True)
     a = withc.select(
-        F.col("cell"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+        F.col("cell"),
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
     )
     b = withc.select(
-        F.col("cell"), F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+        F.col("cell"),
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
     )
     pairs = (
         a.join(b, ["cell"])
         .where(F.col("_ida") < F.col("_idb"))
         .where(
-            cosine(
-                F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")
-            )
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
             >= F.lit(threshold)
         )
         .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
