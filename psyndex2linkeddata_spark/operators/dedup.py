@@ -696,7 +696,12 @@ def incremental_neardup(
     )
 
     index_id_col = index_id_col or id_col
-    bandrows = minhash_band_index(batch, id_col, text_col, num_hashes, bands, n)
+    # the batch's band rows feed BOTH pair sides and the index probe —
+    # materialize once (batch-sized, the small side by construction)
+    # instead of re-shingling the batch per consumer
+    bandrows = minhash_band_index(
+        batch, id_col, text_col, num_hashes, bands, n
+    ).localCheckpoint(eager=True)
 
     # within-batch candidate pairs + transitive closure
     joinable = bandrows
