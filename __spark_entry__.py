@@ -262,6 +262,28 @@ def q_neardup_clusters(spark, sf):
     return neardup_clusters(d, num_hashes=8, bands=4, n=3)
 
 
+def q_dsir_select(spark, sf):
+    """DSIR importance resampling (operators/selection.py): docs with
+    doc_id%23==0 play the high-quality TARGET corpus, the rest the raw
+    crawl; hashed uni+bigram features (256 buckets), add-1 smoothed
+    log-ratio per bucket cast to DECIMAL(20,10) (exact, order-independent
+    doc sums), Gumbel-top-100 with md5-derived noise. The oracle replays
+    featurization, both distributions, the decimal weight sum and the
+    Gumbel arithmetic in DuckDB."""
+    from psyndex2linkeddata_spark.operators.selection import dsir_select
+
+    d = _t(spark, sf, "documents")
+    raw = d.where(F.col("doc_id") % 23 != 0)
+    tgt = d.where(F.col("doc_id") % 23 == 0)
+    sel = dsir_select(raw, tgt, k=100, n_buckets=256)
+    return sel.select(
+        "doc_id",
+        F.round(F.col("weight").cast("double"), 4).alias("weight"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
 def q_semantic_dedup(spark, sf):
     """SemDeDup (operators/similarity.semantic_dedup): IVF-cell quantize
     → within-cell cosine≥0.35 pairs → closure → keep the member least
@@ -907,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "incremental_neardup": q_incremental_neardup,
         "semantic_dedup": q_semantic_dedup,
+        "dsir_select": q_dsir_select,
         "chunk_text": q_chunk_text,
         "cdc_chunks": q_cdc_chunks,
         "pack_sequences": q_pack_sequences,
@@ -1572,6 +1595,53 @@ def oracle_sql() -> dict[str, str]:
               from scored)
             select query_id, vec_id, round(cos, 4) as cos, rank
             from ranked where rank <= 5
+        """,
+        # DSIR replay: hashed uni+bigram features, add-1 smoothed
+        # distributions over 256 buckets, DECIMAL(20,10) log-ratio weight
+        # sums, md5-derived Gumbel noise, top-100
+        "dsir_select": r"""
+            with norm as (
+              select doc_id,
+                     regexp_replace(lower(trim(coalesce(text,''))), '\s+', ' ', 'g') as nt
+              from documents),
+            grams as (
+              select doc_id, unnest(list_filter(string_split(nt, ' '), x -> len(x) > 0)) as g from norm
+              union all
+              select doc_id, unnest(regexp_extract_all(nt, '\S+ \S+')) as g from norm
+              union all
+              select doc_id, unnest(regexp_extract_all(regexp_replace(nt, '^(?:\S+ ){1}', ''), '\S+ \S+')) as g from norm),
+            feats as (
+              select doc_id, (('0x'||substr(md5(g),1,8))::bigint % 256)::int as bucket, count(*) as cnt
+              from grams group by 1, 2),
+            buckets as (select range::int as bucket from range(256)),
+            qd as (select b.bucket, coalesce(sum(f.cnt), 0) as c
+                   from buckets b left join (select * from feats where doc_id % 23 <> 0) f using (bucket)
+                   group by b.bucket),
+            pd as (select b.bucket, coalesce(sum(f.cnt), 0) as c
+                   from buckets b left join (select * from feats where doc_id % 23 = 0) f using (bucket)
+                   group by b.bucket),
+            ratio as (
+              select qd.bucket,
+                     (ln((pd.c + 1.0) / ((select sum(c) from pd) + 256.0))
+                      - ln((qd.c + 1.0) / ((select sum(c) from qd) + 256.0)))::decimal(20,10) as lr
+              from qd join pd using (bucket)),
+            w as (
+              select d.doc_id,
+                     coalesce(sum(f.cnt * ratio.lr), 0::decimal(20,10)) as weight
+              from (select doc_id from documents where doc_id % 23 <> 0) d
+              left join (select * from feats where doc_id % 23 <> 0) f using (doc_id)
+              left join ratio on f.bucket = ratio.bucket
+              group by d.doc_id),
+            scored as (
+              select doc_id, weight,
+                     weight::double / 1.0
+                     + (-ln(-ln(((('0x'||substr(md5(doc_id::varchar),1,13))::bigint + 1.0) / 4503599627370496.0)))) as score
+              from w),
+            topk as (select doc_id, weight, score,
+                            row_number() over (order by score desc, doc_id asc) as rank
+                     from scored qualify rank <= 100)
+            select doc_id, round(weight::double, 4) as weight, round(score, 4) as score, rank
+            from topk
         """,
         # SemDeDup replay: same train/assign CTEs as ivf_topk but over the
         # WHOLE embeddings table; within-cell cos>=0.35 pairs closed with a

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "neardup_clusters",
     "incremental_neardup",
     "semantic_dedup",
+    "dsir_select",
     "chunk_text",
     "cdc_chunks",
     "pack_sequences",

@@ -527,6 +527,37 @@ def test_semantic_dedup_keeper_rule(spark):
     assert got[4] == (4, 4, True)
 
 
+def test_dsir_select_prefers_target_like(spark):
+    """DSIR importance resampling: raw docs written in the TARGET's
+    vocabulary get positive weights and fill the top ranks; off-
+    distribution docs sink. Gumbel-off variant is a hard top-k by
+    weight."""
+    from psyndex2linkeddata_spark.operators.selection import dsir_select
+
+    wiki = "the history of science describes theories experiments and discoveries across centuries"
+    spam = "buy cheap pills online casino bonus click here winner jackpot free offer now"
+    raw = spark.createDataFrame(
+        [(i, wiki + f" chapter {i}") for i in range(10)]
+        + [(100 + i, spam + f" deal {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(1000, wiki), (1001, "science experiments history and discoveries")],
+        "doc_id long, text string",
+    )
+    sel = dsir_select(raw, target, k=10, n_buckets=128, gumbel=False)
+    rows = sel.collect()
+    assert len(rows) == 10
+    top_ids = {r.doc_id for r in rows}
+    assert top_ids == set(range(10))          # every wiki-like doc wins
+    # absolute weights are negative here (tiny target corpus -> smoothing
+    # mass dominates ln p); what matters is the margin between families
+    w_all = {r.doc_id: float(r.weight) for r in dsir_select(
+        raw, target, k=20, n_buckets=128, gumbel=False).collect()}
+    assert min(w_all[i] for i in range(10)) > max(w_all[100 + i] for i in range(10))
+    assert [r.rank for r in sorted(rows, key=lambda r: -r.score)][0] == 1
+
+
 def test_cdc_chunks_stability(spark):
     """Content-defined boundaries depend only on local k-grams: after a
     prefix edit, every chunk past the first boundary is byte-identical —
