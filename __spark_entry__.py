@@ -634,6 +634,24 @@ def q_ivf_topk(spark, sf):
     return topk.select("query_id", "vec_id", F.round("cos", 4).alias("cos"), "rank")
 
 
+def q_bm25_topk(spark, sf):
+    """Sparse lexical retrieval (operators/retrieval.bm25_topk): queries
+    are the first 120 chars of every doc_id%97==0 document; the corpus
+    tokenized once, postings semi-joined to the broadcast query
+    vocabulary BEFORE the tf groupBy, per-term idf as DECIMAL(20,10) so
+    the (query, doc) score is an exact order-independent decimal sum,
+    salted two-phase top-10. The oracle replays tokenization, the
+    Lucene-form idf, the tf arithmetic and the decimal sum in DuckDB."""
+    from psyndex2linkeddata_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf, "documents")
+    queries = d.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 120).alias("query_text"),
+    )
+    return bm25_topk(d, queries, k=10)
+
+
 def q_embedding_neardup(spark, sf):
     """Near-dup pairs via hyperplane-LSH buckets (2 tables × 4 planes) —
     the scale path: no cross join in the plan; candidates share an LSH
@@ -944,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "bm25_topk": q_bm25_topk,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
@@ -1539,6 +1558,59 @@ def oracle_sql() -> dict[str, str]:
             from ranked where rank <= 10
         """,
         "lsh_topk": _lsh_topk_oracle(),
+        "bm25_topk": """
+            -- full BM25 replay (k1=1.2, b=0.75, k=10): same tokenizer,
+            -- Lucene idf ln(1+(N-df+.5)/(df+.5)) as DECIMAL(20,10), same
+            -- double tf arithmetic, exact decimal score sum, same
+            -- (score desc, doc_id asc) ranking
+            with
+            dtoks as (
+              select doc_id, toks, len(toks) as dl from (
+                select doc_id,
+                       list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') as toks
+                from documents)
+              where len(toks) > 0),
+            stats as (select count(*) as n_docs, sum(dl) as sum_dl from dtoks),
+            q as (select doc_id as query_id, substr(text, 1, 120) as qtext
+                  from documents where doc_id % 97 = 0),
+            qterms as (
+              select distinct query_id, term from (
+                select query_id,
+                       unnest(list_filter(
+                         string_split_regex(lower(qtext), '[^a-z0-9]+'),
+                         t -> t <> '')) as term
+                from q)),
+            postings as (
+              select doc_id, dl, term, count(*) as tf from (
+                select doc_id, dl, unnest(toks) as term from dtoks)
+              where term in (select distinct term from qterms)
+              group by 1, 2, 3),
+            idf as (
+              select term,
+                     cast(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                          as decimal(20,10)) as idf,
+                     sum_dl::double / n_docs as avgdl
+              from (select term, count(*) as df from postings group by 1)
+              cross join stats),
+            scored as (
+              select query_id, doc_id,
+                     sum(cast(idf::double * (tf * 2.2)
+                              / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                          as decimal(20,10))) as score
+              from postings
+              join idf using (term)
+              join qterms using (term)
+              group by 1, 2),
+            topk as (
+              select query_id, doc_id, score,
+                     row_number() over (partition by query_id
+                                        order by score desc, doc_id asc) as rank
+              from scored qualify rank <= 10)
+            select query_id, doc_id, round(score::double, 4) as score, rank
+            from topk
+        """,
         "ivf_topk": """
             -- full replay of ivf_topk(n_cells=8, n_probes=2, k=5,
             -- refine_iters=1): md5-rank seeds, one Lloyd step with exact

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "simhash",
     "embedding_topk",
     "lsh_topk",
+    "bm25_topk",
     "lang_id",
     "lang_id_ngram",
     "quality",

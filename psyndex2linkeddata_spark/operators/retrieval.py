@@ -1,0 +1,171 @@
+"""Sparse lexical retrieval: BM25 scoring + top-k over an inverted
+postings table, built entirely from native DataFrame ops (no Python in
+the hot path).
+
+This is the lexical complement to the dense ANN family in
+operators/similarity.py (cosine_topk / lsh_cosine_topk / ivf_topk):
+a training-data pipeline uses it for query-steered corpus selection,
+benchmark decontamination by retrieval, and hard-negative mining.
+
+Scale design (the 10^12-doc regime drives every stage):
+
+- The corpus is tokenized ONCE and immediately semi-joined against the
+  broadcast query vocabulary BEFORE the tf aggregation — the postings
+  shuffle carries only query-vocabulary terms, a tiny fraction of the
+  corpus token stream. The full inverted index is never materialized.
+- df(term) is computed AFTER that filter, which is lossless: filtering
+  by term keeps every posting of a kept term, so per-term document
+  frequencies are exact.
+- Corpus-wide N and avgdl come from one narrow partial-agg (no
+  shuffle) crossJoined back as a broadcast 1-row table — no collect(),
+  the whole job stays one plan.
+- Per-term idf is cast to DECIMAL(20,10) once (one value per query
+  term) so each (query, doc) score is an EXACT decimal sum —
+  row-order independent, hence byte-replayable by the DuckDB oracle
+  (same trick as operators/selection.py's DSIR log-ratio table).
+- Top-k per query is the salted two-phase window of
+  operators/hosts.cap_per_host: phase 1 ranks within (query, salt)
+  where salt = md5-bits of the doc id, so a query whose terms hit 10^9
+  documents never funnels through one task; phase 2 ranks the
+  <= k*n_salts survivors exactly. Result is identical to one global
+  window (top-k distributes over a partition of the candidates).
+
+Hot-term skew note: a stop-word-ish query term with a 10^8-row postings
+list skews the (doc, term) tf groupBy no worse than the corpus itself
+(keys are (doc, dl, term) — doc-unique), and the scoring join
+broadcasts the term-side tables; the only doc-keyed shuffle is the
+final per-(query, doc) decimal sum, uniform in doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+__all__ = ["tokenize_terms", "bm25_scores", "bm25_topk"]
+
+
+def tokenize_terms(col: Column) -> Column:
+    """Lowercase alphanumeric terms (empty tokens from leading/trailing
+    separators dropped) — mirrored verbatim by the DuckDB oracle's
+    string_split_regex(lower(x), '[^a-z0-9]+')."""
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    barrier: bool = True,
+) -> DataFrame:
+    """(query_id, doc_id, score DECIMAL(20,10)) for every document that
+    shares at least one term with the query. Lucene-style BM25:
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf component
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)); duplicate query terms
+    count once (standard short-query practice).
+
+    `barrier` puts a lazy localCheckpoint on the postings table: both
+    the df(term) aggregation and the scoring join consume postings, and
+    without the barrier Catalyst re-inlines the tokenize→explode→semi-
+    join subtree into each consumer — the corpus would be tokenized
+    twice per run (the same re-evaluation trap documented on
+    plans/corpus.prepare_training_corpus)."""
+    toks = (
+        docs.select(F.col(id_col), tokenize_terms(F.col(text_col)).alias("_toks"))
+        .withColumn("dl", F.size("_toks"))
+        .where(F.col("dl") > 0)
+    )
+    # corpus scalars: exact long sum + one double division (identical
+    # arithmetic in DuckDB, unlike engine-specific avg() internals)
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qterms = queries.select(
+        query_id_col, F.explode(tokenize_terms(F.col(query_text_col))).alias("term")
+    ).distinct()
+    qvocab = qterms.select("term").distinct()
+    postings = (
+        toks.select(id_col, "dl", F.explode("_toks").alias("term"))
+        .join(F.broadcast(qvocab), "term")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if barrier:
+        postings = postings.localCheckpoint(eager=False)
+    idf = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            .cast("decimal(20,10)")
+            .alias("idf"),
+            (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+        )
+    )
+    tfc = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        postings.join(F.broadcast(idf), "term")
+        .join(F.broadcast(qterms), "term")
+        .withColumn(
+            "_s", (F.col("idf").cast("double") * tfc).cast("decimal(20,10)")
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_s").alias("score"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Top-k BM25 hits per query: (query_id, doc_id, score double, rank).
+    Ordering is (score desc, doc_id asc) on the exact decimal score —
+    fully deterministic, so the two-phase salted ranking (see module
+    docstring) returns exactly the single-window result the oracle
+    computes."""
+    if k <= 0 or n_salts <= 0:
+        raise ValueError("require k > 0 and n_salts > 0")
+    scored = bm25_scores(
+        docs, queries, k1, b, id_col, text_col, query_id_col, query_text_col
+    )
+    salt = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 25, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(n_salts),
+    )
+    order = [F.col("score").desc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(query_id_col, salt).orderBy(*order)
+    w2 = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(F.col("score").cast("double"), 4).alias("score"),
+            "rank",
+        )
+    )

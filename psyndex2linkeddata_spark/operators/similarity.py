@@ -477,8 +477,11 @@ def semantic_pairs_arrow(
     (applyInPandas over groupBy(cell)) — the scale path for
     semantic_dedup's quadratic stage: per cell of k vectors the candidate
     scoring is a k×k BLAS gemm on normalized rows instead of k²
-    interpreted HOF folds (measured ~20× on 64-dim cells of ~600).
-    Memory is k·dims per task, bounded by cell sizing. Pair SETS equal
+    interpreted HOF folds (isolated pair-stage measurement at 64 cells ×
+    600 × 64-dim, identical 11.5M-pair output: 8.7s vs 87.3s cold, 4.3s
+    vs 5.8s warm on this quota-drifting host — the gemm's advantage
+    widens with cell size and dims since the HOF fold is interpreted per
+    element). Memory is k·dims per task, bounded by cell sizing. Pair SETS equal
     the native scorer except on pairs whose cosine sits within float-
     summation error of the threshold (BLAS pairwise summation vs
     sequential fold), which is why the oracle-gated driver row keeps the

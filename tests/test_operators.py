@@ -1063,3 +1063,59 @@ def test_duplicate_spans_and_strip(spark):
     }
     assert kept[4] == rows[3][1]  # 8-token span < 9 → untouched
     assert kept[1] == "unique one"  # 10-token span ≥ 9 → stripped
+
+
+def test_bm25_topk_vs_pure_python(spark):
+    """bm25_topk vs an independent row-at-a-time BM25 (Lucene idf,
+    k1=1.2, b=0.75) on a corpus with repeated terms, varied lengths,
+    and a query term absent from the corpus."""
+    import math
+    import re
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick quick fox"),
+        (3, "lazy afternoons with a lazy lazy dog sleeping in the sun all day"),
+        (4, "completely unrelated text about spark shuffles and partitions"),
+        (5, "fox fox fox fox"),
+    ]
+    queries = [(100, "quick fox"), (200, "lazy dog zzzunseen")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = spark.createDataFrame(queries, ["query_id", "query_text"])
+
+    from psyndex2linkeddata_spark.operators.retrieval import bm25_topk
+
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bm25_topk(d, q, k=3, n_salts=4).collect()
+    }
+
+    def toks(s):
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    docs = {i: toks(t) for i, t in rows}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    k1, b = 1.2, 0.75
+    expect = {}
+    for qid, qtext in queries:
+        scores = {}
+        for term in set(toks(qtext)):
+            df = sum(1 for t in docs.values() if term in t)
+            if df == 0:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for i, t in docs.items():
+                tf = t.count(term)
+                if tf:
+                    tfc = tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+                    scores[i] = scores.get(i, 0.0) + idf * tfc
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for r, (i, s) in enumerate(top, 1):
+            expect[(qid, r)] = (i, round(s, 4))
+
+    assert set(got) == set(expect)
+    for key, (doc, score) in expect.items():
+        gdoc, gscore = got[key]
+        assert gdoc == doc, (key, got[key], (doc, score))
+        assert abs(gscore - score) < 2e-4, (key, got[key], (doc, score))
