@@ -634,6 +634,22 @@ def q_ivf_topk(spark, sf):
     return topk.select("query_id", "vec_id", F.round("cos", 4).alias("cos"), "rank")
 
 
+def q_lm_perplexity(spark, sf):
+    """CCNet-style perplexity scoring (operators/lm.lm_mean_nll): the
+    doc_id%23==0 slice plays the high-quality target corpus (same
+    convention as dsir_select); every document scored by mean negative
+    log-likelihood under the interpolated add-0.5 bigram model with a
+    256-term vocab + <unk>. The three model log tables are DECIMAL(20,10)
+    (ln once per model row), so each doc score is an exact decimal sum —
+    the oracle replays vocab selection, both count tables, the ln
+    arithmetic and the per-doc fold in DuckDB."""
+    from psyndex2linkeddata_spark.operators.lm import lm_mean_nll
+
+    d = _t(spark, sf, "documents")
+    model = d.where(F.col("doc_id") % 23 == 0)
+    return lm_mean_nll(d, model, vocab_size=256, alpha=0.5)
+
+
 def q_bm25_topk(spark, sf):
     """Sparse lexical retrieval (operators/retrieval.bm25_topk): queries
     are the first 120 chars of every doc_id%97==0 document; the corpus
@@ -963,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "bm25_topk": q_bm25_topk,
+        "lm_perplexity": q_lm_perplexity,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
@@ -1558,6 +1575,89 @@ def oracle_sql() -> dict[str, str]:
             from ranked where rank <= 10
         """,
         "lsh_topk": _lsh_topk_oracle(),
+        "lm_perplexity": """
+            -- bigram-LM mean-NLL replay (vocab 256 + <unk>, alpha=0.5):
+            -- same tokenizer, same top-V tie-break, ln once per model
+            -- row as DECIMAL(20,10), exact per-doc decimal sums
+            with
+            mt as (
+              select toks from (
+                select list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') as toks
+                from documents where doc_id % 23 = 0)
+              where len(toks) > 0),
+            mstream as (select unnest(toks) as term from mt),
+            vocab as (
+              select term from (
+                select term, count(*) as c from mstream group by 1)
+              qualify row_number() over (order by c desc, term asc) <= 256),
+            base as (select term as w from vocab
+                     union all select '<unk>'),
+            counts as (
+              select case when term in (select term from vocab)
+                          then term else '<unk>' end as w,
+                     count(*) as c1
+              from mstream group by 1),
+            uni as (
+              select base.w, coalesce(counts.c1, 0) as c1
+              from base left join counts using (w)),
+            totals as (select sum(c1) as t_tokens, count(*) as v_types from uni),
+            p1t as (
+              select w, c1,
+                     (c1 + 1.0) / (t_tokens + v_types) as p1
+              from uni cross join totals),
+            backoff as (
+              select w as w2, p1,
+                     cast(ln(0.5 * p1) as decimal(20,10)) as l_backoff
+              from p1t),
+            denom as (
+              select w as w1,
+                     cast(ln(c1 + 0.5) as decimal(20,10)) as l_denom
+              from p1t),
+            midx as (
+              select toks, unnest(range(len(toks) - 1)) as i from mt),
+            mbg as (
+              select case when toks[i + 1] in (select term from vocab)
+                          then toks[i + 1] else '<unk>' end as w1,
+                     case when toks[i + 2] in (select term from vocab)
+                          then toks[i + 2] else '<unk>' end as w2
+              from midx),
+            bigram as (
+              select w1, w2,
+                     cast(ln(c12 + 0.5 * p1) as decimal(20,10)) as l_num
+              from (select w1, w2, count(*) as c12 from mbg group by 1, 2)
+              join backoff using (w2)),
+            dt as (
+              select doc_id,
+                     list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '') as toks
+              from documents),
+            didx as (
+              select doc_id, toks, unnest(range(len(toks) - 1)) as i
+              from dt where len(toks) >= 2),
+            dbg as (
+              select doc_id,
+                     case when toks[i + 1] in (select term from vocab)
+                          then toks[i + 1] else '<unk>' end as w1,
+                     case when toks[i + 2] in (select term from vocab)
+                          then toks[i + 2] else '<unk>' end as w2
+              from didx),
+            scored as (
+              select doc_id, count(*) as n_bigrams,
+                     sum(coalesce(bigram.l_num, backoff.l_backoff)
+                         - denom.l_denom) as sum_lp
+              from dbg
+              left join bigram using (w1, w2)
+              join backoff using (w2)
+              join denom using (w1)
+              group by 1)
+            select d.doc_id,
+                   coalesce(s.n_bigrams, 0) as n_bigrams,
+                   round((-s.sum_lp)::double / s.n_bigrams, 4) as mean_nll
+            from documents d left join scored s using (doc_id)
+        """,
         "bm25_topk": """
             -- full BM25 replay (k1=1.2, b=0.75, k=10): same tokenizer,
             -- Lucene idf ln(1+(N-df+.5)/(df+.5)) as DECIMAL(20,10), same

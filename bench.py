@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "embedding_topk",
     "lsh_topk",
     "bm25_topk",
+    "lm_perplexity",
     "lang_id",
     "lang_id_ngram",
     "quality",

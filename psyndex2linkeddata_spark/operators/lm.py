@@ -1,0 +1,234 @@
+"""CCNet-style n-gram LM perplexity scoring (Wenzek et al. 2020,
+"CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+Data", §3.3): score every document by the mean negative log-likelihood
+of an interpolated add-alpha bigram model trained on a high-quality
+target corpus, then bucket/filter on it. CCNet uses KenLM; this is the
+same stage re-expressed as pure DataFrame algebra so the model train,
+the scoring pass and the filter are ONE Spark plan with no external
+artifacts.
+
+Model: tokens outside the top-`vocab_size` target vocabulary map to
+'<unk>'; unigram p1(w) = (c1(w)+1)/(T+V); bigram
+p(w2|w1) = (c(w1,w2) + alpha*p1(w2)) / (c1(w1) + alpha). The log
+decomposes per bigram into  ln(c12 + alpha*p1(w2)) - ln(c1(w1)+alpha),
+so the trained model is THREE small log tables — seen-bigram numerator,
+per-w2 backoff numerator, per-w1 denominator — each ln computed ONCE
+per model row and cast to DECIMAL(20,10): every document score is an
+exact, row-order-independent decimal sum (the determinism pattern of
+operators/selection.py and operators/retrieval.py), byte-replayable by
+the DuckDB oracle.
+
+Scale design:
+- vocab = top-V term counts via orderBy+limit (TakeOrderedAndProject —
+  partial top-V per partition, no global sort), tie-broken (count desc,
+  term asc) for cross-engine determinism; broadcast everywhere.
+- the target corpus is tokenized once behind a lazy localCheckpoint
+  and re-read by the vocab/unigram/bigram aggregations (three uniform-
+  key groupBys) — never re-tokenized per consumer.
+- the scoring pass explodes corpus bigrams, maps both slots to vocab
+  via broadcast joins, picks numerator/backoff/denominator with two
+  more broadcast joins, and reduces with ONE doc-keyed decimal sum —
+  the only corpus-sized shuffle, uniform in doc_id. With a huge vocab
+  the model joins degrade gracefully to shuffle joins on w1/(w1,w2);
+  nothing is ever collected to the driver.
+- docs with < 2 tokens have no bigram evidence and are passed through
+  with NULL mean_nll (callers decide; perplexity_filter keeps them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from psyndex2linkeddata_spark.operators.retrieval import tokenize_terms
+
+__all__ = ["lm_mean_nll", "perplexity_filter"]
+
+UNK = "<unk>"
+
+
+def _bigrams(toks):
+    return F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def lm_mean_nll(
+    docs: DataFrame,
+    model_docs: DataFrame,
+    vocab_size: int = 512,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, mean_nll): mean negative log-likelihood of
+    each document under the bigram model trained on `model_docs`.
+    mean_nll is exact-decimal-sum / n_bigrams rendered as a double;
+    lower = more target-like. Docs with < 2 tokens get NULL mean_nll."""
+    if vocab_size <= 0:
+        raise ValueError("vocab_size must be > 0")
+    mtoks = model_docs.select(
+        tokenize_terms(F.col(text_col)).alias("_toks")
+    ).where(F.size("_toks") > 0)
+    mtoks = mtoks.localCheckpoint(eager=False)
+    mstream = mtoks.select(F.explode("_toks").alias("term"))
+    vocab = (
+        mstream.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .select("term")
+    )
+    # unigram counts over MAPPED tokens (unk aggregates the tail).
+    # The model's type set is vocab ∪ {<unk>} EXPLICITLY — even when the
+    # target corpus has no OOV token, <unk> gets a c1=0 row (p1 via the
+    # +1 numerator), so scoring-time OOV bigrams always find their
+    # backoff/denominator rows instead of being dropped by the joins.
+    base = vocab.select(F.col("term").alias("w")).union(
+        model_docs.sparkSession.range(1).select(F.lit(UNK).alias("w"))
+    )
+    counts = (
+        mstream.join(F.broadcast(vocab.withColumn("_in", F.lit(1))), "term", "left")
+        .select(
+            F.when(F.col("_in").isNotNull(), F.col("term"))
+            .otherwise(F.lit(UNK))
+            .alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    uni = base.join(counts, "w", "left").select(
+        "w", F.coalesce(F.col("c1"), F.lit(0)).alias("c1")
+    )
+    totals = uni.agg(
+        F.sum("c1").alias("t_tokens"), F.count(F.lit(1)).alias("v_types")
+    )
+    # per-w2 backoff numerator ln(alpha*p1) and per-w1 denominator
+    # ln(c1+alpha), each ln once per model row
+    p1 = uni.crossJoin(F.broadcast(totals)).select(
+        "w",
+        "c1",
+        (
+            (F.col("c1") + F.lit(1.0))
+            / (F.col("t_tokens") + F.col("v_types"))
+        ).alias("p1"),
+    )
+    backoff = p1.select(
+        F.col("w").alias("w2"),
+        F.col("p1"),
+        F.log(F.lit(alpha) * F.col("p1"))
+        .cast("decimal(20,10)")
+        .alias("l_backoff"),
+    )
+    denom = p1.select(
+        F.col("w").alias("w1"),
+        F.log(F.col("c1") + F.lit(alpha)).cast("decimal(20,10)").alias("l_denom"),
+    )
+    mapped_bg = (
+        mtoks.select(F.explode(_bigrams(F.col("_toks"))).alias("bg"))
+        .select(F.col("bg.w1").alias("rw1"), F.col("bg.w2").alias("rw2"))
+        .join(
+            F.broadcast(vocab.select(F.col("term").alias("rw1"), F.lit(1).alias("_i1"))),
+            "rw1",
+            "left",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("term").alias("rw2"), F.lit(1).alias("_i2"))),
+            "rw2",
+            "left",
+        )
+        .select(
+            F.when(F.col("_i1").isNotNull(), F.col("rw1")).otherwise(F.lit(UNK)).alias("w1"),
+            F.when(F.col("_i2").isNotNull(), F.col("rw2")).otherwise(F.lit(UNK)).alias("w2"),
+        )
+    )
+    bigram = (
+        mapped_bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .join(F.broadcast(backoff.select("w2", "p1")), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.log(F.col("c12") + F.lit(alpha) * F.col("p1"))
+            .cast("decimal(20,10)")
+            .alias("l_num"),
+        )
+    )
+    # ---- scoring pass over `docs` ----
+    dtoks = docs.select(
+        F.col(id_col), tokenize_terms(F.col(text_col)).alias("_toks")
+    )
+    dbg = (
+        dtoks.where(F.size("_toks") >= 2)
+        .select(id_col, F.explode(_bigrams(F.col("_toks"))).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("rw1"), F.col("bg.w2").alias("rw2"))
+        .join(
+            F.broadcast(vocab.select(F.col("term").alias("rw1"), F.lit(1).alias("_i1"))),
+            "rw1",
+            "left",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("term").alias("rw2"), F.lit(1).alias("_i2"))),
+            "rw2",
+            "left",
+        )
+        .select(
+            id_col,
+            F.when(F.col("_i1").isNotNull(), F.col("rw1")).otherwise(F.lit(UNK)).alias("w1"),
+            F.when(F.col("_i2").isNotNull(), F.col("rw2")).otherwise(F.lit(UNK)).alias("w2"),
+        )
+    )
+    scored = (
+        dbg.join(F.broadcast(bigram), ["w1", "w2"], "left")
+        .join(F.broadcast(backoff.select("w2", "l_backoff")), "w2")
+        .join(F.broadcast(denom), "w1")
+        .select(
+            id_col,
+            (
+                F.coalesce(F.col("l_num"), F.col("l_backoff")) - F.col("l_denom")
+            ).alias("_lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_lp").alias("_sum_lp"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                (-F.col("_sum_lp").cast("double")) / F.col("n_bigrams"), 4
+            ).alias("mean_nll"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "mean_nll",
+        )
+    )
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    model_docs: DataFrame,
+    max_nll: float,
+    vocab_size: int = 512,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docs whose mean_nll under the target LM is <= max_nll (CCNet's
+    head/middle cut). Docs too short to score (NULL mean_nll) are KEPT —
+    absence of evidence, per CCNet practice of routing unscorable docs
+    to a separate bucket rather than silently dropping them."""
+    nll = lm_mean_nll(docs, model_docs, vocab_size, alpha, id_col, text_col)
+    keep = nll.where(
+        F.col("mean_nll").isNull() | (F.col("mean_nll") <= F.lit(max_nll))
+    ).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

@@ -1119,3 +1119,72 @@ def test_bm25_topk_vs_pure_python(spark):
         gdoc, gscore = got[key]
         assert gdoc == doc, (key, got[key], (doc, score))
         assert abs(gscore - score) < 2e-4, (key, got[key], (doc, score))
+
+
+def test_lm_mean_nll_vs_pure_python(spark):
+    """CCNet-style bigram-LM scoring vs an independent row-at-a-time
+    replay: vocab cut + <unk>, add-alpha interpolation, backoff for
+    unseen bigrams, NULL for unscorable docs, filter keeps them."""
+    import math
+    import re
+    from collections import Counter
+
+    model_rows = [
+        (10, "the cat sat on the mat"),
+        (11, "the cat ran"),
+        (12, "a dog sat on a log"),
+    ]
+    doc_rows = [
+        (1, "the cat sat"),
+        (2, "zebra quantum flux"),
+        (3, "on the mat the cat sat"),
+        (4, "x"),
+    ]
+    m = spark.createDataFrame(model_rows, ["doc_id", "text"])
+    d = spark.createDataFrame(doc_rows, ["doc_id", "text"])
+
+    from psyndex2linkeddata_spark.operators.lm import (
+        lm_mean_nll,
+        perplexity_filter,
+    )
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_nll)
+        for r in lm_mean_nll(d, m, vocab_size=5, alpha=0.5).collect()
+    }
+
+    def toks(s):
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    mt = [toks(t) for _, t in model_rows]
+    cnt = Counter(w for t in mt for w in t)
+    vocab = [w for w, c in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+
+    def mp(w):
+        return w if w in vocab else "<unk>"
+
+    c1 = Counter(mp(w) for t in mt for w in t)
+    base = set(vocab) | {"<unk>"}
+    total, v = sum(c1.values()), len(base)
+    p1 = {w: (c1.get(w, 0) + 1.0) / (total + v) for w in base}
+    c12 = Counter((mp(a), mp(b)) for t in mt for a, b in zip(t, t[1:]))
+    a = 0.5
+    for did, txt in doc_rows:
+        t = [mp(w) for w in toks(txt)]
+        bgs = list(zip(t, t[1:]))
+        if not bgs:
+            assert got[did] == (0, None)
+            continue
+        s = sum(
+            math.log(c12.get((x, y), 0) + a * p1[y]) - math.log(c1.get(x, 0) + a)
+            for x, y in bgs
+        )
+        nb, nll = got[did]
+        assert nb == len(bgs)
+        assert abs(nll - round(-s / len(bgs), 4)) < 2e-4, (did, got[did])
+
+    # doc 2 is off-distribution (all-unk) → filtered; short doc 4 kept
+    kept = sorted(
+        r.doc_id for r in perplexity_filter(d, m, max_nll=2.5, vocab_size=5).collect()
+    )
+    assert kept == [1, 3, 4]
