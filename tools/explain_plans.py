@@ -50,6 +50,8 @@ def main() -> None:
         ("incremental_neardup", "incremental near-dup vs persisted index (pre-aggregated index probe + batch band self-join)"),
         ("semantic_dedup", "SemDeDup (broadcast centroids, cell-confined pair join, closure)"),
         ("snapshot_dedup", "URL canonicalize + latest capture (partial max_by before the one exchange)"),
+        ("bm25_topk", "BM25 retrieval (broadcast query vocab before the tf groupBy, WindowGroupLimit top-k)"),
+        ("lm_perplexity", "bigram-LM mean-NLL (broadcast model log tables, one doc-keyed sum)"),
     ]
     out = ["# PLANS — physical plan evidence (sf0.001, local[8])\n"]
     out.append(
