@@ -51,6 +51,9 @@ def prepare_training_corpus(
     chunk_window: int = 512,
     chunk_stride: int = 448,
     cdc_divisor: int = 512,
+    lm_model_docs: DataFrame | None = None,
+    lm_max_nll: float = 9.0,
+    lm_vocab_size: int = 512,
 ) -> DataFrame:
     """(id, chunk_id, chunk_text, n_tokens) training chunks from raw docs.
 
@@ -58,6 +61,11 @@ def prepare_training_corpus(
     (sliding windows), or 'none' (return cleaned docs instead).
     `benchmark=None` skips decontamination; `mix_rates=None` keeps
     every stratum; `max_top_bigram_frac=None` skips that gate.
+    `lm_model_docs` inserts the CCNet perplexity cut (operators/lm)
+    after the per-row gates and before decontamination/dedup — the
+    CCNet ordering (lang/quality → LM filter → dedup); docs scoring
+    worse than `lm_max_nll` under the bigram model trained on the
+    given target corpus are dropped (unscorable short docs are kept).
     """
     d = docs
     if mix_rates is not None:
@@ -90,6 +98,19 @@ def prepare_training_corpus(
     if max_top_bigram_frac is not None:
         d = d.where(F.col("__tbf") <= max_top_bigram_frac).drop("__tbf")
     d = d.drop("__ntok", "__dup")
+    if lm_model_docs is not None:
+        from psyndex2linkeddata_spark.operators.lm import perplexity_filter
+
+        # runs on the checkpointed post-gate corpus, so the scoring
+        # pass reads materialized partitions, not the gate chain
+        d = perplexity_filter(
+            d,
+            lm_model_docs,
+            max_nll=lm_max_nll,
+            vocab_size=lm_vocab_size,
+            id_col=id_col,
+            text_col=text_col,
+        )
     if benchmark is not None:
         bad = contaminated_ids(
             d, benchmark, decontaminate_n, id_col, text_col

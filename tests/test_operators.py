@@ -1188,3 +1188,31 @@ def test_lm_mean_nll_vs_pure_python(spark):
         r.doc_id for r in perplexity_filter(d, m, max_nll=2.5, vocab_size=5).collect()
     )
     assert kept == [1, 3, 4]
+
+
+def test_prepare_training_corpus_lm_gate(spark):
+    """CCNet ordering: the optional LM perplexity cut drops
+    off-distribution docs between the per-row gates and dedup, keeps
+    target-like ones, and defaults (lm_model_docs=None) leave the plan
+    byte-identical to the ungated run."""
+    from psyndex2linkeddata_spark.plans.corpus import prepare_training_corpus
+
+    target_vocab = "alpha beta gamma delta epsilon zeta eta theta".split()
+    mk = lambda seq: " ".join(target_vocab[i % 8] for i in seq)
+    rows = [
+        (1, "keep", mk(range(40))),                                # target-like
+        (2, "keep", " ".join(f"z{i*17%97}q" for i in range(40))),  # off-distribution
+        (3, "keep", mk(range(3, 43))),                             # target-like
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    model = spark.createDataFrame(
+        [(100 + i, mk(range(i, i + 60))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    kw = dict(min_tokens=5, dedup=False, chunking="none")
+    gated = prepare_training_corpus(
+        docs, lm_model_docs=model, lm_max_nll=3.0, lm_vocab_size=16, **kw
+    )
+    assert {r.doc_id for r in gated.collect()} == {1, 3}
+    ungated = prepare_training_corpus(docs, **kw)
+    assert {r.doc_id for r in ungated.collect()} == {1, 2, 3}
