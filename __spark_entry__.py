@@ -634,6 +634,16 @@ def q_ivf_topk(spark, sf):
     return topk.select("query_id", "vec_id", F.round("cos", 4).alias("cos"), "rank")
 
 
+def q_corpus_stats(spark, sf):
+    """Data-card rollup (operators/stats.corpus_stats): per-(source,
+    lang) + per-source + grand-total doc/token/dup statistics from ONE
+    Expand+aggregate pass (DataFrame.rollup). The oracle replays it
+    with GROUP BY ROLLUP and GROUPING()."""
+    from psyndex2linkeddata_spark.operators.stats import corpus_stats
+
+    return corpus_stats(_t(spark, sf, "documents"))
+
+
 def q_lm_perplexity(spark, sf):
     """CCNet-style perplexity scoring (operators/lm.lm_mean_nll): the
     doc_id%23==0 slice plays the high-quality target corpus (same
@@ -980,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "bm25_topk": q_bm25_topk,
         "lm_perplexity": q_lm_perplexity,
+        "corpus_stats": q_corpus_stats,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
@@ -1575,6 +1586,25 @@ def oracle_sql() -> dict[str, str]:
             from ranked where rank <= 10
         """,
         "lsh_topk": _lsh_topk_oracle(),
+        "corpus_stats": """
+            -- data-card rollup replay: same whitespace token count,
+            -- md5 distinct-text rate, GROUPING() arithmetic for lvl
+            select source, lang,
+                   grouping(source) * 2 + grouping(lang) as lvl,
+                   count(*) as n_docs,
+                   sum(ntok) as n_tokens,
+                   round(sum(ntok)::double / count(*), 4) as avg_doc_tokens,
+                   count(distinct th) as n_distinct_texts,
+                   round((count(*) - count(distinct th))::double / count(*), 4)
+                     as exact_dup_frac
+            from (
+              select source, lang,
+                     len(list_filter(string_split_regex(text, '\\s+'),
+                                     t -> t <> '')) as ntok,
+                     md5(text) as th
+              from documents)
+            group by rollup(source, lang)
+        """,
         "lm_perplexity": """
             -- bigram-LM mean-NLL replay (vocab 256 + <unk>, alpha=0.5):
             -- same tokenizer, same top-V tie-break, ln once per model

@@ -1216,3 +1216,28 @@ def test_prepare_training_corpus_lm_gate(spark):
     assert {r.doc_id for r in gated.collect()} == {1, 3}
     ungated = prepare_training_corpus(docs, **kw)
     assert {r.doc_id for r in ungated.collect()} == {1, 2, 3}
+
+
+def test_corpus_stats_rollup(spark):
+    """Rollup levels: leaf / per-source / grand total from one pass,
+    exact-dup rate counts repeated text bytes."""
+    rows = [
+        (1, "web", "en", "a b c"),
+        (2, "web", "en", "a b c"),      # exact dup of 1
+        (3, "web", "de", "x y"),
+        (4, "books", "en", "p q r s"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "source", "lang", "text"])
+    from psyndex2linkeddata_spark.operators.stats import corpus_stats
+
+    out = {
+        (r.source, r.lang, r.lvl): (r.n_docs, r.n_tokens, r.n_distinct_texts, r.exact_dup_frac)
+        for r in corpus_stats(d).collect()
+    }
+    assert out[("web", "en", 0)] == (2, 6, 1, 0.5)
+    assert out[("web", "de", 0)] == (1, 2, 1, 0.0)
+    assert out[("books", "en", 0)] == (1, 4, 1, 0.0)
+    assert out[("web", None, 1)] == (3, 8, 2, round(1 / 3, 4))
+    assert out[("books", None, 1)] == (1, 4, 1, 0.0)
+    assert out[(None, None, 3)] == (4, 12, 3, 0.25)
+    assert len(out) == 6
