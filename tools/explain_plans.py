@@ -52,6 +52,7 @@ def main() -> None:
         ("snapshot_dedup", "URL canonicalize + latest capture (partial max_by before the one exchange)"),
         ("bm25_topk", "BM25 retrieval (broadcast query vocab before the tf groupBy, WindowGroupLimit top-k)"),
         ("lm_perplexity", "bigram-LM mean-NLL (broadcast model log tables, one doc-keyed sum)"),
+        ("corpus_stats", "data-card rollup (one Expand + aggregate, all levels in one shuffle)"),
     ]
     out = ["# PLANS — physical plan evidence (sf0.001, local[8])\n"]
     out.append(
