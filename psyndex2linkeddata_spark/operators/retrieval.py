@@ -62,6 +62,7 @@ def bm25_scores(
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
     barrier: bool = True,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score DECIMAL(20,10)) for every document that
     shares at least one term with the query. Lucene-style BM25:
@@ -74,7 +75,22 @@ def bm25_scores(
     without the barrier Catalyst re-inlines the tokenize→explode→semi-
     join subtree into each consumer — the corpus would be tokenized
     twice per run (the same re-evaluation trap documented on
-    plans/corpus.prepare_training_corpus)."""
+    plans/corpus.prepare_training_corpus).
+
+    `max_df_frac` is the scale lever for stop-word-grade query terms:
+    scoring cost is Σ_q Σ_t |postings(t)|, and a term present in a
+    constant fraction of a 10^12-doc corpus makes that product corpus-
+    sized while contributing ~zero idf. Setting e.g. 0.1 drops query
+    terms with df > 0.1·N AFTER the exact df computation (the cut is on
+    true document frequency, not an estimate) — the classic stop-term /
+    WAND-style pruning. Measured at 200 queries over 100k × 600-token
+    docs (tools/retrieval_scale_run.py): 151.5s exact → 89.9s with the
+    0.1 cut, self-retrieval precision unchanged at 200/200 — the cut
+    removes the entire hot-term scoring-join component; the remaining
+    wall is the one-pass postings build itself, which a multi-batch
+    deployment amortizes by persisting `bm25_scores`'s checkpointed
+    postings across query batches. None (default) scores every term —
+    the oracle-gated exact mode."""
     toks = (
         docs.select(F.col(id_col), tokenize_terms(F.col(text_col)).alias("_toks"))
         .withColumn("dl", F.size("_toks"))
@@ -97,11 +113,15 @@ def bm25_scores(
     )
     if barrier:
         postings = postings.localCheckpoint(eager=False)
-    idf = (
+    dft = (
         postings.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(stats))
-        .select(
+    )
+    if max_df_frac is not None:
+        dft = dft.where(F.col("df") <= F.lit(max_df_frac) * F.col("n_docs"))
+    idf = (
+        dft.select(
             "term",
             F.log(
                 F.lit(1.0)
@@ -138,16 +158,26 @@ def bm25_topk(
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
     n_salts: int = 16,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Top-k BM25 hits per query: (query_id, doc_id, score double, rank).
     Ordering is (score desc, doc_id asc) on the exact decimal score —
     fully deterministic, so the two-phase salted ranking (see module
     docstring) returns exactly the single-window result the oracle
-    computes."""
+    computes. `max_df_frac` prunes stop-word-grade query terms (see
+    bm25_scores)."""
     if k <= 0 or n_salts <= 0:
         raise ValueError("require k > 0 and n_salts > 0")
     scored = bm25_scores(
-        docs, queries, k1, b, id_col, text_col, query_id_col, query_text_col
+        docs,
+        queries,
+        k1,
+        b,
+        id_col,
+        text_col,
+        query_id_col,
+        query_text_col,
+        max_df_frac=max_df_frac,
     )
     salt = F.pmod(
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 25, 8), 16, 10)

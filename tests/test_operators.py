@@ -1121,6 +1121,31 @@ def test_bm25_topk_vs_pure_python(spark):
         assert abs(gscore - score) < 2e-4, (key, got[key], (doc, score))
 
 
+def test_bm25_max_df_frac_stop_term_cut(spark):
+    """max_df_frac drops stop-word-grade query terms after the exact df
+    pass: 'the' appears in 4/5 docs (df 0.8) so a 0.5 cut removes its
+    postings from scoring while the rare terms still rank; the default
+    (None) keeps every term and still scores the stopword."""
+    from psyndex2linkeddata_spark.operators.retrieval import bm25_scores, bm25_topk
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "the lazy dog"),
+        (3, "the sun rises"),
+        (4, "the moon sets"),
+        (5, "completely stopword free text"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = spark.createDataFrame([(9, "the fox")], ["query_id", "query_text"])
+
+    cut = {r.doc_id for r in bm25_scores(d, q, max_df_frac=0.5).collect()}
+    assert cut == {1}  # only the rare term 'fox' scores
+    full = {r.doc_id for r in bm25_scores(d, q).collect()}
+    assert full == {1, 2, 3, 4}  # exact mode scores 'the' postings too
+    top = bm25_topk(d, q, k=1, n_salts=4, max_df_frac=0.5).collect()
+    assert [(r.query_id, r.doc_id, r.rank) for r in top] == [(9, 1, 1)]
+
+
 def test_lm_mean_nll_vs_pure_python(spark):
     """CCNet-style bigram-LM scoring vs an independent row-at-a-time
     replay: vocab cut + <unk>, add-alpha interpolation, backoff for
