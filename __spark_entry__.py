@@ -693,6 +693,27 @@ def q_embedding_neardup(spark, sf):
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
+def q_nb_classify(spark, sf):
+    """Multinomial Naive-Bayes document classifier (operators/classify.py
+    — the CCNet/fastText-style quality/domain gate): train on the
+    doc_id%5<2 slice labeled by `lang`, dense add-1-smoothed
+    DECIMAL(20,10) log-likelihood model broadcast for scoring, argmax
+    with lexicographic tie-break over every document. The oracle replays
+    tokenization, the dense vocab×label model, priors, the exact decimal
+    score sums and the argmax window in DuckDB."""
+    from psyndex2linkeddata_spark.operators.classify import nb_classify, nb_train
+
+    d = _t(spark, sf, "documents")
+    train = d.where(F.col("doc_id") % 5 < 2).select(
+        "doc_id", F.col("lang").alias("label"), "text"
+    )
+    model, priors = nb_train(train, alpha=1.0)
+    pred = nb_classify(d, model, priors)
+    return pred.select(
+        "doc_id", "label", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
+
+
 def q_lang_id(spark, sf):
     from psyndex2linkeddata_spark.functions.textstats import lang_id
 
@@ -993,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
+        "nb_classify": q_nb_classify,
         "lang_id_ngram": q_lang_id_ngram,
         "quality": q_quality,
         "repetition": q_repetition,
@@ -1927,6 +1949,68 @@ def oracle_sql() -> dict[str, str]:
               on a.vec_id < b.vec_id
              and (a.sig0 = b.sig0 or a.sig1 = b.sig1)
             where list_cosine_similarity(a.v, b.v) >= 0.35
+        """,
+        "nb_classify": r"""
+            -- full multinomial-NB replay: same tokenizer, train slice
+            -- doc_id%5<2 labeled by lang, dense vocab x label add-1
+            -- model with DECIMAL(20,10) log-likelihoods, exact decimal
+            -- score sums, argmax with (score desc, label asc) break
+            with train as (
+              select doc_id, lang as label, text
+              from documents where doc_id % 5 < 2),
+            ttoks as (
+              select doc_id, label,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '')) as token
+              from train),
+            vocab as (select distinct token from ttoks),
+            counts as (select token, label, count(*) as c
+                       from ttoks group by 1, 2),
+            labels as (select label, count(*) as n from train group by 1),
+            nstats as (select count(*) as n_docs from train),
+            vsize as (select count(*) as v from vocab),
+            model as (
+              select vocab.token, labels.label,
+                     cast(ln((coalesce(counts.c, 0) + 1.0)
+                             / (totals.t + 1.0 * vsize.v))
+                          as decimal(20,10)) as ll
+              from vocab
+              cross join labels
+              left join counts on counts.token = vocab.token
+                              and counts.label = labels.label
+              join (select label, sum(c) as t from counts group by 1) totals
+                on totals.label = labels.label
+              cross join vsize),
+            priors as (
+              select label,
+                     cast(ln(n::double / n_docs) as decimal(20,10)) as logprior
+              from labels cross join nstats),
+            dtoks as (
+              select doc_id,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '')) as token
+              from documents),
+            tok_scores as (
+              select doc_id, label, sum(ll) as s
+              from dtoks join model using (token)
+              group by 1, 2),
+            scored as (
+              select d.doc_id, p.label,
+                     cast(p.logprior
+                          + coalesce(t.s, cast(0 as decimal(20,10)))
+                       as decimal(20,10)) as score
+              from (select doc_id from documents) d
+              cross join priors p
+              left join tok_scores t
+                on t.doc_id = d.doc_id and t.label = p.label),
+            pred as (
+              select doc_id, label, score,
+                     row_number() over (partition by doc_id
+                                        order by score desc, label asc) as rn
+              from scored qualify rn = 1)
+            select doc_id, label, round(score::double, 4) as score from pred
         """,
         "lang_id": r"""
             with h as (select doc_id,

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "lsh_topk",
     "bm25_topk",
     "lm_perplexity",
+    "nb_classify",
     "corpus_stats",
     "lang_id",
     "lang_id_ngram",

@@ -1,0 +1,185 @@
+"""Document classification: multinomial Naive Bayes over unigram tokens
+— the train-a-cheap-text-classifier lever a CCNet/RefinedWeb-style
+corpus pipeline uses for quality and domain gating (CCNet trains a
+fastText linear classifier for exactly this slot; NB over token counts
+is the closed-form member of the same family and, unlike SGD models,
+trains in ONE distributed aggregation pass with no iteration).
+
+Reference scope note: the reference engine (psyndex2linkeddata) has no
+classifier — this is part of the beyond-reference training-data-pipeline
+layer, like operators/selection.py (DSIR) and operators/lm.py (CCNet
+perplexity). Where DSIR scores documents against a target DISTRIBUTION
+and the LM scores fluency, the classifier scores membership in a labeled
+class — the three cover the standard data-quality triad.
+
+Train (one pass over the labeled corpus, no iteration):
+- per-class token counts: explode tokens → groupBy(token, label) with
+  map-side combine; the groupBy key is (token, label) so even stopword
+  rows split across classes;
+- the model is the DENSE (vocab × labels) table of add-α smoothed
+  log-likelihoods ln((c + α) / (T_label + α·V)) — dense so scoring is a
+  single equi-join with no per-class missing-token fixup;
+- class log-priors ln(n_docs_label / n_docs).
+
+Score (one join + one aggregation):
+- doc tokens (WITH multiplicity) inner-join the model on token — OOV
+  tokens (absent from the training vocab) are dropped, the standard
+  multinomial-NB treatment, and the drop is class-symmetric so ranking
+  is unaffected;
+- score(doc, label) = logprior + Σ_token ll. Both terms are
+  DECIMAL(20,10) (cast ONCE per model row), so the per-doc sum is an
+  EXACT decimal — row-order / shuffle-layout independent and replayable
+  token-for-token by the DuckDB oracle.
+
+Scale shape (10^12 docs, 10^6-token vocab, ≤10s of labels):
+- the model is V×C rows ≈ tens of MB — broadcast by default, so scoring
+  is a map-side join: NO shuffle touches the corpus until the
+  groupBy(doc, label) partial-aggregates;
+- `min_df` prunes the vocab long-tail (hapaxes are most of V and carry
+  no signal) before the dense cross join;
+- the one corpus-sized shuffle in training is groupBy(token, label),
+  whose key space is uniform enough for AQE; the labeled TRAINING set
+  is normally orders of magnitude smaller than the corpus anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from psyndex2linkeddata_spark.operators.retrieval import tokenize_terms
+
+_DEC = "decimal(20,10)"
+
+
+def nb_train(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    min_df: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit multinomial NB on (text, label) rows. Returns
+    (model, priors): model = (token, label, ll DECIMAL(20,10)) DENSE over
+    vocab × labels; priors = (label, logprior DECIMAL(20,10)).
+    `alpha` is the add-α smoothing; `min_df` drops tokens seen in fewer
+    than min_df training documents (the vocab-size scale lever)."""
+    toks = labeled.select(
+        F.col(label_col).alias("label"),
+        F.monotonically_increasing_id().alias("_doc"),
+        tokenize_terms(F.col(text_col)).alias("_toks"),
+    )
+    exploded = toks.select("label", "_doc", F.explode("_toks").alias("token"))
+    vocab = exploded.groupBy("token").agg(
+        F.count_distinct("_doc").alias("df")
+    )
+    if min_df > 1:
+        vocab = vocab.where(F.col("df") >= min_df)
+    vocab = vocab.select("token")
+    counts = (
+        exploded.join(vocab, "token", "left_semi")
+        .groupBy("token", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    labels = labeled.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs_label")
+    )
+    n_docs = labeled.count()
+    v_size = vocab.count()
+    totals = counts.groupBy("label").agg(F.sum("c").alias("t"))
+
+    dense = (
+        vocab.crossJoin(labels.select("label"))
+        .join(counts, ["token", "label"], "left")
+        .join(F.broadcast(totals), "label", "left")
+        .select(
+            "token",
+            "label",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(float(alpha)))
+                / (F.coalesce(F.col("t"), F.lit(0)) + F.lit(float(alpha) * v_size))
+            )
+            .cast(_DEC)
+            .alias("ll"),
+        )
+    )
+    priors = labels.select(
+        "label",
+        F.log(F.col("n_docs_label") / F.lit(float(n_docs))).cast(_DEC).alias(
+            "logprior"
+        ),
+    )
+    return dense, priors
+
+
+def nb_scores(
+    docs: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """(id, label, score DECIMAL(20,10)) for every doc × label: exact
+    decimal logprior + Σ token log-likelihoods. Docs whose tokens are all
+    OOV still get every label's prior (via the docs × priors frame).
+    `broadcast_model=False` falls back to a shuffle join for a vocab too
+    large to broadcast."""
+    m = F.broadcast(model) if broadcast_model else model
+    tok_scores = (
+        docs.select(F.col(id_col), F.explode(tokenize_terms(F.col(text_col))).alias("token"))
+        .join(m, "token")
+        .groupBy(id_col, "label")
+        .agg(F.sum("ll").alias("_tok_sum"))
+    )
+    return (
+        docs.select(id_col)
+        .crossJoin(F.broadcast(priors))
+        .join(tok_scores, [id_col, "label"], "left")
+        .select(
+            F.col(id_col),
+            F.col("label"),
+            (
+                F.col("logprior")
+                + F.coalesce(F.col("_tok_sum"), F.lit(0).cast(_DEC))
+            )
+            .cast(_DEC)
+            .alias("score"),
+        )
+    )
+
+
+def nb_classify(
+    docs: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """(id, label, score): the argmax class per document, ties broken by
+    the lexicographically smallest label — fully deterministic. The
+    window partitions by doc over ≤|labels| rows, so it never skews."""
+    scored = nb_scores(docs, model, priors, id_col, text_col, broadcast_model)
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("label").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def classifier_filter(
+    docs: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    keep_labels: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Keep only documents whose predicted class is in `keep_labels` —
+    the quality-gate shape (train on wiki-vs-crawl, keep 'wiki')."""
+    pred = nb_classify(docs, model, priors, id_col, text_col, broadcast_model)
+    keep = pred.where(F.col("label").isin(keep_labels)).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

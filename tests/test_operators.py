@@ -1266,3 +1266,98 @@ def test_corpus_stats_rollup(spark):
     assert out[("books", None, 1)] == (1, 4, 1, 0.0)
     assert out[(None, None, 3)] == (4, 12, 3, 0.25)
     assert len(out) == 6
+
+
+def test_nb_classifier_vs_pure_python(spark):
+    """nb_train/nb_scores/nb_classify vs an independent row-at-a-time
+    multinomial NB (add-alpha, dense vocab x labels, OOV dropped):
+    exact score parity, argmax + lexicographic tie-break, all-OOV doc
+    falls back to priors, classifier_filter keeps the right docs."""
+    import math
+    import re
+    from collections import Counter
+
+    train_rows = [
+        (1, "good", "clean prose with varied words and clean structure"),
+        (2, "good", "well formed sentences carry varied vocabulary"),
+        (3, "good", "prose sentences with structure and vocabulary"),
+        (4, "spam", "buy buy buy cheap cheap pills pills pills"),
+        (5, "spam", "cheap pills buy now now now"),
+    ]
+    score_rows = [
+        (10, "clean varied prose sentences"),
+        (11, "buy cheap pills now"),
+        (12, "zzz qqq vvv"),  # all OOV -> priors only
+        (13, "clean pills"),  # mixed
+    ]
+    t = spark.createDataFrame(train_rows, ["doc_id", "label", "text"])
+    d = spark.createDataFrame(score_rows, ["doc_id", "text"])
+
+    from psyndex2linkeddata_spark.operators.classify import (
+        classifier_filter,
+        nb_classify,
+        nb_scores,
+        nb_train,
+    )
+
+    model, priors = nb_train(t, alpha=1.0)
+    got = {
+        (r.doc_id, r.label): float(r.score)
+        for r in nb_scores(d, model, priors).collect()
+    }
+
+    def toks(s):
+        return [w for w in re.split(r"[^a-z0-9]+", s.lower()) if w]
+
+    by_label: dict[str, Counter] = {}
+    n_by_label: Counter = Counter()
+    for _, lab, text in train_rows:
+        by_label.setdefault(lab, Counter()).update(toks(text))
+        n_by_label[lab] += 1
+    vocab = set().union(*[set(c) for c in by_label.values()])
+    v = len(vocab)
+    expect = {}
+    for doc_id, text in score_rows:
+        for lab, cnt in by_label.items():
+            t_lab = sum(cnt.values())
+            s = math.log(n_by_label[lab] / len(train_rows))
+            for w in toks(text):
+                if w in vocab:
+                    s += math.log((cnt.get(w, 0) + 1.0) / (t_lab + v))
+            expect[(doc_id, lab)] = s
+
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-6, (k, got[k], expect[k])
+
+    pred = {r.doc_id: r.label for r in nb_classify(d, model, priors).collect()}
+    assert pred[10] == "good" and pred[11] == "spam" and pred[13] == "spam"
+    # all-OOV doc 12: argmax of priors alone -> 'good' (3/5 > 2/5)
+    assert pred[12] == "good"
+
+    kept = {
+        r.doc_id
+        for r in classifier_filter(d, model, priors, ["good"]).collect()
+    }
+    assert kept == {10, 12}
+
+
+def test_nb_train_min_df_prunes_vocab(spark):
+    """min_df=2 drops hapax tokens from the model vocabulary (and hence
+    from scoring), while tokens seen in >=2 training docs survive."""
+    t = spark.createDataFrame(
+        [
+            (1, "a", "shared hapaxone"),
+            (2, "a", "shared hapaxtwo"),
+            (3, "b", "other hapaxthree"),
+            (4, "b", "other shared"),
+        ],
+        ["doc_id", "label", "text"],
+    )
+    from psyndex2linkeddata_spark.operators.classify import nb_train
+
+    model, _ = nb_train(t, min_df=2)
+    vocab = {r.token for r in model.select("token").distinct().collect()}
+    assert vocab == {"shared", "other"}
+    # dense: every surviving token has a row for every label
+    assert model.count() == len(vocab) * 2
