@@ -678,6 +678,38 @@ def q_bm25_topk(spark, sf):
     return bm25_topk(d, queries, k=10)
 
 
+def q_hybrid_rrf(spark, sf):
+    """Hybrid retrieval (operators/retrieval.rrf_fuse): reciprocal-rank
+    fusion of the lexical bm25_topk list (documents, queries =
+    doc_id%97==0 prefixes) with the dense cosine_topk list (embeddings,
+    queries = vec_id%97==0, vec_id standing for doc_id) — integer
+    weight 1e9 div (60+rank) per list, exact bigint sums, (score desc,
+    doc asc) ranking. The oracle replays both component rankings and
+    the integer fusion in DuckDB."""
+    from psyndex2linkeddata_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from psyndex2linkeddata_spark.operators.similarity import cosine_topk
+
+    d = _t(spark, sf, "documents")
+    queries = d.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 120).alias("query_text"),
+    )
+    lex = bm25_topk(d, queries, k=10)
+
+    e = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dq = e.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dc = e.where(F.col("vec_id") % 97 != 0)
+    den = cosine_topk(dc, dq, k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse([lex.select("query_id", "doc_id", "rank"), den])
+    return fused.select("query_id", "doc_id", "rrf_score", "rank")
+
+
 def q_embedding_neardup(spark, sf):
     """Near-dup pairs via hyperplane-LSH buckets (2 tables × 4 planes) —
     the scale path: no cross join in the plan; candidates share an LSH
@@ -1015,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "nb_classify": q_nb_classify,
+        "hybrid_rrf": q_hybrid_rrf,
         "lang_id_ngram": q_lang_id_ngram,
         "quality": q_quality,
         "repetition": q_repetition,
@@ -1762,6 +1795,85 @@ def oracle_sql() -> dict[str, str]:
               from scored qualify rank <= 10)
             select query_id, doc_id, round(score::double, 4) as score, rank
             from topk
+        """,
+        "hybrid_rrf": """
+            -- hybrid RRF: full BM25 replay (same CTEs as bm25_topk) +
+            -- dense cosine top-10 over embeddings (vec_id%97==0 as
+            -- queries), fused with integer weights 1e9 // (60+rank),
+            -- exact bigint sums, (score desc, doc asc) ranking
+            with
+            dtoks as (
+              select doc_id, toks, len(toks) as dl from (
+                select doc_id,
+                       list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') as toks
+                from documents)
+              where len(toks) > 0),
+            stats as (select count(*) as n_docs, sum(dl) as sum_dl from dtoks),
+            q as (select doc_id as query_id, substr(text, 1, 120) as qtext
+                  from documents where doc_id % 97 = 0),
+            qterms as (
+              select distinct query_id, term from (
+                select query_id,
+                       unnest(list_filter(
+                         string_split_regex(lower(qtext), '[^a-z0-9]+'),
+                         t -> t <> '')) as term
+                from q)),
+            postings as (
+              select doc_id, dl, term, count(*) as tf from (
+                select doc_id, dl, unnest(toks) as term from dtoks)
+              where term in (select distinct term from qterms)
+              group by 1, 2, 3),
+            idf as (
+              select term,
+                     cast(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                          as decimal(20,10)) as idf,
+                     sum_dl::double / n_docs as avgdl
+              from (select term, count(*) as df from postings group by 1)
+              cross join stats),
+            scored as (
+              select query_id, doc_id,
+                     sum(cast(idf::double * (tf * 2.2)
+                              / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                          as decimal(20,10))) as score
+              from postings
+              join idf using (term)
+              join qterms using (term)
+              group by 1, 2),
+            lex as (
+              select query_id, doc_id,
+                     row_number() over (partition by query_id
+                                        order by score desc, doc_id asc) as rank
+              from scored qualify rank <= 10),
+            e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+            eq as (select vec_id as query_id, v as qv from e
+                   where vec_id % 97 = 0),
+            ec as (select * from e where vec_id % 97 <> 0),
+            dscored as (
+              select eq.query_id, ec.vec_id as doc_id,
+                     list_cosine_similarity(ec.v, eq.qv) as cos
+              from ec cross join eq),
+            den as (
+              select query_id, doc_id,
+                     row_number() over (partition by query_id
+                                        order by cos desc, doc_id asc) as rank
+              from dscored qualify rank <= 10),
+            unioned as (
+              select query_id, doc_id, rank from lex
+              union all
+              select query_id, doc_id, rank from den),
+            fused as (
+              select query_id, doc_id,
+                     sum(1000000000 // (60 + rank)) as rrf_score
+              from unioned group by 1, 2),
+            franked as (
+              select query_id, doc_id, rrf_score,
+                     row_number() over (partition by query_id
+                                        order by rrf_score desc, doc_id asc)
+                       as rank
+              from fused qualify rank <= 10)
+            select query_id, doc_id, rrf_score, rank from franked
         """,
         "ivf_topk": """
             -- full replay of ivf_topk(n_cells=8, n_probes=2, k=5,

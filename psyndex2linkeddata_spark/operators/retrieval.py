@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
-__all__ = ["tokenize_terms", "bm25_scores", "bm25_topk"]
+__all__ = ["tokenize_terms", "bm25_scores", "bm25_topk", "rrf_fuse"]
 
 
 def tokenize_terms(col: Column) -> Column:
@@ -198,4 +198,61 @@ def bm25_topk(
             F.round(F.col("score").cast("double"), 4).alias("score"),
             "rank",
         )
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_rrf: int = 60,
+    topk: int = 10,
+    query_id_col: str = "query_id",
+    doc_id_col: str = "doc_id",
+    rank_col: str = "rank",
+    weight_scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of N per-query rankings — the standard way a retrieval stack merges
+    the lexical (bm25_topk) and dense (similarity.cosine_topk /
+    ivf_topk) lists into one hybrid ranking without score calibration:
+    each list contributes 1/(k_rrf + rank) per (query, doc).
+
+    Determinism: the contribution is computed as the INTEGER
+    `weight_scale div (k_rrf + rank)` so the fused score is an exact
+    bigint sum — no float summation order, identical in any engine (the
+    DuckDB oracle replays it with `//`). With weight_scale=1e9 the
+    truncation error is < 1e-9 per term, far below any meaningful rank
+    separation of 1/(60+r) terms.
+
+    Scale shape: the inputs are ALREADY top-k lists, so the union holds
+    ≤ Σ k_i rows per query; the fuse is one uniform groupBy(query, doc)
+    and a per-query window over ≤ Σ k_i candidates — nothing here ever
+    sees corpus-sized data, and no query key can skew beyond Σ k_i.
+
+    Each input needs columns (query_id_col, doc_id_col, rank_col);
+    output: (query_id, doc_id, rrf_score bigint, rank)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k_rrf <= 0 or topk <= 0:
+        raise ValueError("require k_rrf > 0 and topk > 0")
+    parts = [
+        r.select(
+            F.col(query_id_col),
+            F.col(doc_id_col),
+            F.col(rank_col).alias("_r"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = F.expr(f"{int(weight_scale)} div ({int(k_rrf)} + _r)")
+    scored = u.groupBy(query_id_col, doc_id_col).agg(
+        F.sum(w).alias("rrf_score")
+    )
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf_score").desc(), F.col(doc_id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= topk)
     )

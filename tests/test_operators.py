@@ -1361,3 +1361,34 @@ def test_nb_train_min_df_prunes_vocab(spark):
     assert vocab == {"shared", "other"}
     # dense: every surviving token has a row for every label
     assert model.count() == len(vocab) * 2
+
+
+def test_rrf_fuse_vs_hand_computed(spark):
+    """rrf_fuse vs hand-computed integer RRF: exact bigint scores,
+    docs present in one list only still fuse, (score desc, doc asc)
+    tie-break, topk cut."""
+    lex = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3), (2, "x", 1)],
+        ["query_id", "doc_id", "rank"],
+    )
+    den = spark.createDataFrame(
+        [(1, "b", 1), (1, "a", 2), (1, "d", 3), (2, "y", 1)],
+        ["query_id", "doc_id", "rank"],
+    )
+    from psyndex2linkeddata_spark.operators.retrieval import rrf_fuse
+
+    got = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.rank)
+        for r in rrf_fuse([lex, den], k_rrf=60, topk=3).collect()
+    }
+
+    def w(r):
+        return 1_000_000_000 // (60 + r)
+
+    # q1: a=w(1)+w(2), b=w(2)+w(1) -> exact tie, doc asc => a first
+    assert got[(1, "a")] == (w(1) + w(2), 1)
+    assert got[(1, "b")] == (w(1) + w(2), 2)
+    assert got[(1, "c")] == (w(3), 3)
+    assert (1, "d") not in got  # d ties c's score w(3); doc asc keeps c
+    assert got[(2, "x")] == (w(1), 1)
+    assert got[(2, "y")] == (w(1), 2)
