@@ -841,6 +841,30 @@ def q_token_counts(spark, sf):
     )
 
 
+def q_bpe_tokens(spark, sf):
+    """Train-your-own-tokenizer stage: corpus word-count pass → BPE merge
+    loop over the aggregated vocab table (driver-side by design, bounded
+    by vocabulary not corpus) → distributed Arrow-batched encode. Reduced
+    to a deterministic summary row; the oracle pins constants computed by
+    an INDEPENDENT naive BPE (tools/pin_bpe_oracle.py — full-recount
+    training + sequential merge replay, no shared code)."""
+    from psyndex2linkeddata_spark.operators.bpe import (
+        bpe_token_counts,
+        bpe_word_counts,
+        train_bpe,
+    )
+
+    d = _t(spark, sf, "documents")
+    merges = train_bpe(bpe_word_counts(d), n_merges=200, min_pair_count=2)
+    tc = bpe_token_counts(d, merges)
+    return tc.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.lit(len(merges)).cast("bigint").alias("n_merges"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+        F.sum("bpe_crc").cast("bigint").alias("crc_sum"),
+    )
+
+
 def q_fingerprints(spark, sf):
     from psyndex2linkeddata_spark.functions.textstats import (
         bag_fingerprint,
@@ -1055,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": q_mix_sample,
         "decontaminate": q_decontaminate,
         "token_counts": q_token_counts,
+        "bpe_tokens": q_bpe_tokens,
         "fingerprints": q_fingerprints,
         "entity_link_exact": q_entity_link_exact,
         "connected_components": q_connected_components,
@@ -2445,6 +2470,16 @@ def oracle_sql() -> dict[str, str]:
         "kg_pipeline_synthetic": """
             select cast(31855 as bigint) as n_triples,
                    cast(68410338250100 as bigint) as content_crc
+        """,
+        # pinned by tools/pin_bpe_oracle.py: an INDEPENDENT naive BPE
+        # (own tokenizer, full pair recount per merge round, sequential
+        # merge replay) over the same sf0.01 documents.parquet — a real
+        # cross-implementation check, not a self-oracle. Re-run the tool
+        # whenever the corpus or BPE hyperparameters change.
+        "bpe_tokens": """
+            select cast(500 as bigint) as n_docs, cast(106 as bigint) as n_merges,
+                   cast(27165 as bigint) as total_bpe_tokens,
+                   cast(1038708985981 as bigint) as crc_sum
         """,
         # identical regexp chain as operators/pii.PII_PATTERNS, in
         # application order; patterns are in the Java-regex/RE2 common

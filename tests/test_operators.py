@@ -1392,3 +1392,124 @@ def test_rrf_fuse_vs_hand_computed(spark):
     assert (1, "d") not in got  # d ties c's score w(3); doc asc keeps c
     assert got[(2, "x")] == (w(1), 1)
     assert got[(2, "y")] == (w(1), 2)
+
+
+def test_bpe_train_encode_vs_pure_python(spark):
+    """train_bpe + bpe_encode vs an independent naive BPE (full pair
+    recount per round, sequential merge replay for encoding — the
+    Sennrich et al. 2016 description implemented literally, sharing no
+    code with operators/bpe.py)."""
+    import re
+    import zlib
+
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new new new"),
+        (3, "the newest lowest widest wide wide"),
+        (4, "low new wide the the the"),
+        (5, "Widest WIDE wide, wide; low!"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    from psyndex2linkeddata_spark.operators.bpe import (
+        bpe_encode,
+        bpe_token_counts,
+        bpe_word_counts,
+        train_bpe,
+    )
+
+    wc = bpe_word_counts(d)
+    merges = train_bpe(wc, n_merges=30, min_pair_count=2)
+
+    # --- independent naive reference -------------------------------
+    def toks(s):
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    counts: dict[str, int] = {}
+    for _, t in rows:
+        for w in toks(t):
+            counts[w] = counts.get(w, 0) + 1
+
+    def naive_train(counts, n_merges, min_pair_count):
+        words = {w: (tuple(w) + ("</w>",), c) for w, c in counts.items()}
+        out = []
+        for _ in range(n_merges):
+            pc: dict[tuple[str, str], int] = {}
+            for syms, c in words.values():
+                for p in zip(syms, syms[1:]):
+                    pc[p] = pc.get(p, 0) + c
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if pc[best] < min_pair_count:
+                break
+            out.append(best)
+            a, b = best
+            nw = {}
+            for w, (syms, c) in words.items():
+                ns, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                nw[w] = (tuple(ns), c)
+            words = nw
+        return out
+
+    expect_merges = naive_train(counts, 30, 2)
+    assert merges == expect_merges
+
+    # encoding: replay merges IN TRAINING ORDER (vs the engine's
+    # rank-priority loop — equivalent for a true merge list)
+    def naive_encode(word, merges):
+        syms = list(word) + ["</w>"]
+        for a, b in merges:
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            syms = ns
+        return syms
+
+    got = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in bpe_encode(d, merges).select("doc_id", "bpe_tokens").collect()
+    }
+    for did, t in rows:
+        expect = [s for w in toks(t) for s in naive_encode(w, merges)]
+        assert got[did] == expect, (did, got[did], expect)
+        # roundtrip: concatenation restores the tokenized text
+        joined = "".join(got[did]).replace("</w>", " ").split()
+        assert joined == toks(t)
+
+    # token_counts agrees with the encode column + an independent crc
+    tc = {
+        r.doc_id: (r.n_bpe_tokens, r.bpe_crc)
+        for r in bpe_token_counts(d, merges).collect()
+    }
+    for did, t in rows:
+        expect = [s for w in toks(t) for s in naive_encode(w, merges)]
+        crc = zlib.crc32(" ".join(expect).encode("utf-8"))
+        assert tc[did] == (len(expect), crc), (did, tc[did])
+
+
+def test_bpe_determinism_and_early_stop(spark):
+    """Ties break lexicographically (engine-independent), hapax-only
+    corpora learn nothing at min_pair_count=2, and list input works."""
+    from psyndex2linkeddata_spark.operators.bpe import train_bpe
+
+    # 'ab' x2 and 'cd' x2: all pairs tie at 2 -> lexicographic order:
+    # (a,b) first, then the freshly-created (ab,</w>) outranks (c,d)
+    merges = train_bpe([("ab", 2), ("cd", 2)], n_merges=3)
+    assert merges == [("a", "b"), ("ab", "</w>"), ("c", "d")]
+    # every pair is hapax -> nothing merged at the default threshold
+    assert train_bpe([("xyz", 1), ("qrs", 1)], n_merges=10) == []
+    # min_pair_count=1 merges hapax pairs too
+    assert len(train_bpe([("xyz", 1)], n_merges=10, min_pair_count=1)) > 0
