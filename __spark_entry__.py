@@ -923,6 +923,22 @@ def q_connected_components(spark, sf):
 # non-SQL-expressible (rows-only checks)
 # --------------------------------------------------------------------------
 
+def q_pagerank(spark, sf):
+    """Fixed-point PageRank over a deterministic supplier→part link
+    graph (same edge derivation family as connected_components, but
+    directed, with hot part-node hubs). Integer fixed-point semantics
+    make the iterative computation bit-exactly replayable by the
+    unrolled DuckDB oracle."""
+    from psyndex2linkeddata_spark.operators.graph import pagerank
+
+    li = _t(spark, sf, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), (F.col("l_partkey") % 50).cast("string")).alias("dst"),
+    )
+    return pagerank(edges, n_iter=5)
+
+
 def q_kg_pipeline_synthetic(spark, sf):
     """The full psyndex KG pipeline on 150 deterministic synthetic pages
     (pages→records→mentions→triples), reduced to a deterministic summary
@@ -1083,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "entity_link_exact": q_entity_link_exact,
         "connected_components": q_connected_components,
+        "pagerank": q_pagerank,
         "kg_pipeline_synthetic": q_kg_pipeline_synthetic,
         "pii_scrub": q_pii_scrub,
         "multimodal_features": q_multimodal_features,
@@ -1182,6 +1199,41 @@ def oracle_sql() -> dict[str, str]:
     )
     simhash_concat = " || ".join(
         f"(case when v{p} > 0 then '1' else '0' end)" for p in range(1, 33)
+    )
+    # pagerank: the operator's integer fixed-point contract (scaled-bigint
+    # ranks, floor division everywhere, dangling mass decays) makes the
+    # driver-loop iteration exactly replayable as unrolled CTE supersteps.
+    pr_iters = "".join(
+        """
+            r{i} as (
+              select n.node,
+                     (select 150000000 // count(*) from nodes)
+                     + (85 * coalesce(c.s, 0)) // 100 as r
+              from nodes n left join (
+                select e.dst as node, sum(r.r // d.outdeg) as s
+                from edges e
+                join r{prev} r on e.src = r.node
+                join deg d on e.src = d.src
+                group by e.dst
+              ) c on n.node = c.node),""".format(i=i, prev=i - 1)
+        for i in range(1, 6)
+    )
+    pagerank_sql = (
+        """
+            with
+            edges as (select distinct 's' || l_suppkey as src,
+                                      'p' || (l_partkey % 50) as dst
+                      from lineitem),
+            nodes as (select src as node from edges
+                      union select dst from edges),
+            deg as (select src, count(*) as outdeg from edges group by 1),
+            r0 as (select node,
+                          (select 1000000000 // count(*) from nodes) as r
+                   from nodes),"""
+        + pr_iters.rstrip(",")
+        + """
+            select node, cast(r as bigint) as rank_scaled from r5
+        """
     )
     return {
         "pricing_summary": """
@@ -2441,6 +2493,7 @@ def oracle_sql() -> dict[str, str]:
             )
             select node, min(lab) as component from reach group by node
         """,
+        "pagerank": pagerank_sql,
         "multimodal_features": """
             -- mirrors the mapInPandas stub decoder: feature chunk i is
             -- md5-digest bytes [4*(i%4), 4*(i%4)+4) big-endian (the digest

@@ -1,0 +1,89 @@
+"""Link-graph analytics: fixed-point PageRank over a DataFrame edge list.
+
+A web-corpus pipeline ranks hosts/pages by link authority (crawl
+prioritization, quality priors for data selection à la CCNet/RefinedWeb
+domain weighting). Spark has no built-in graph engine; this is the same
+driver-loop shape as operators/components.py connected_components —
+Catalyst cannot express iteration, so each superstep is one declarative
+join+groupBy round with lazy localCheckpoint lineage truncation.
+
+Determinism contract (what lets a DuckDB oracle replay it bit-exactly):
+ranks are SCALED BIGINTS (fixed point at 1/scale resolution, default
+1e-9), every division is integer floor division, and all per-node sums
+are order-independent integer adds. Floating-point PageRank differs in
+the last ulps between engines (summation order); fixed point does not.
+Semantics: the "simplified" PageRank variant — dangling-node mass is NOT
+redistributed (it decays), exactly as in the original Brin & Page
+formulation before the stochastic-matrix patch; documented and mirrored
+by the oracle.
+
+Scale notes: each iteration shuffles once on dst (contribution sum) and
+once on node (the left join back to the node set). Hub pages with huge
+in-degree are map-side-combined (integer sum is a partial agg); hub
+OUT-degree nodes fan out contributions but each edge row computes its
+contribution narrowly from the joined (rank, outdeg). The node set and
+degree table are computed once and reused across supersteps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+) -> DataFrame:
+    """(node, rank_scaled) after `n_iter` supersteps. rank_scaled is the
+    PageRank value times `scale`, floored — sum over nodes ≤ scale
+    (strictly less when floor loss / dangling decay occurs).
+
+    damping_pct is the damping factor in percent (85 = the classic 0.85)
+    so the teleport and damping terms stay in integer arithmetic.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    ).distinct()
+    e = e.localCheckpoint()
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_scaled", F.lit(0).cast("bigint"))
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+
+    base = (scale * (100 - damping_pct)) // 100 // n
+    ranks = nodes.withColumn("rank_scaled", F.lit(scale // n).cast("bigint"))
+
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_scaled div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("bigint")
+                + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+            ).alias("rank_scaled"),
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -1513,3 +1513,41 @@ def test_bpe_determinism_and_early_stop(spark):
     assert train_bpe([("xyz", 1), ("qrs", 1)], n_merges=10) == []
     # min_pair_count=1 merges hapax pairs too
     assert len(train_bpe([("xyz", 1)], n_merges=10, min_pair_count=1)) > 0
+
+
+def test_pagerank_vs_pure_python_fixed_point(spark):
+    """pagerank vs an independent integer fixed-point replay on a graph
+    with a hub, a dangling node, and a 2-cycle; exact equality (that is
+    the operator's determinism contract)."""
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("e", "c"),  # c is the hub
+        ("a", "f"),              # f is dangling (no out-edges)
+    ]
+    from psyndex2linkeddata_spark.operators.graph import pagerank
+
+    d = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank_scaled for r in pagerank(d, n_iter=10).collect()}
+
+    # independent replay
+    scale, damp = 10**9, 85
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out: dict[str, list[str]] = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    base = (scale * (100 - damp)) // 100 // n
+    r = {v: scale // n for v in nodes}
+    for _ in range(10):
+        s = {v: 0 for v in nodes}
+        for v, ts in out.items():
+            c = r[v] // len(ts)
+            for t in ts:
+                s[t] += c
+        r = {v: base + (damp * s[v]) // 100 for v in nodes}
+
+    assert got == r
+    # a receives the hub c's entire rank (c's only out-edge) -> a tops;
+    # dangling f only ever gets a third of a's rank
+    assert max(r, key=r.get) == "a"
+    assert got["f"] < got["a"]
