@@ -923,6 +923,25 @@ def q_connected_components(spark, sf):
 # non-SQL-expressible (rows-only checks)
 # --------------------------------------------------------------------------
 
+def q_bgp_query(spark, sf):
+    """SPARQL-style BGP over the kg_triples graph: three patterns
+    joined on ?w (type gate + two value lookups), compiled to
+    Catalyst-planned self-joins by plans/query.bgp_match. The oracle
+    replays the same conjunction as SQL self-joins over an identical
+    triples CTE."""
+    from psyndex2linkeddata_spark.plans.query import bgp_match
+
+    t = q_kg_triples(spark, sf).select("subj", "pred", "obj")
+    return bgp_match(
+        t,
+        [
+            ("?w", _RDF_TYPE, _BF_WORK),
+            ("?w", _SCHEMA_LANG, "?lang"),
+            ("?w", _PXP + "sourceOrigin", "?src"),
+        ],
+    )
+
+
 def q_pagerank(spark, sf):
     """Fixed-point PageRank over a deterministic supplier→part link
     graph (same edge derivation family as connected_components, but
@@ -1100,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link_exact": q_entity_link_exact,
         "connected_components": q_connected_components,
         "pagerank": q_pagerank,
+        "bgp_query": q_bgp_query,
         "kg_pipeline_synthetic": q_kg_pipeline_synthetic,
         "pii_scrub": q_pii_scrub,
         "multimodal_features": q_multimodal_features,
@@ -2494,6 +2514,24 @@ def oracle_sql() -> dict[str, str]:
             select node, min(lab) as component from reach group by node
         """,
         "pagerank": pagerank_sql,
+        "bgp_query": f"""
+            with d as (select 'https://w3id.org/zpid/resources/works/doc'
+                              || doc_id || '_work' as subj, * from documents),
+            t as (
+              select subj, '{_RDF_TYPE}' as pred, '{_BF_WORK}' as obj from d
+              union all
+              select subj, '{_SCHEMA_LANG}', lang from d
+              union all
+              select subj, '{_PXP}sourceOrigin', source from d
+            )
+            select a.subj as w, b.obj as lang, c.obj as src
+            from t a
+            join t b on b.subj = a.subj
+            join t c on c.subj = a.subj
+            where a.pred = '{_RDF_TYPE}' and a.obj = '{_BF_WORK}'
+              and b.pred = '{_SCHEMA_LANG}'
+              and c.pred = '{_PXP}sourceOrigin'
+        """,
         "multimodal_features": """
             -- mirrors the mapInPandas stub decoder: feature chunk i is
             -- md5-digest bytes [4*(i%4), 4*(i%4)+4) big-endian (the digest

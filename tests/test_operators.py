@@ -1551,3 +1551,66 @@ def test_pagerank_vs_pure_python_fixed_point(spark):
     # dangling f only ever gets a third of a's rank
     assert max(r, key=r.get) == "a"
     assert got["f"] < got["a"]
+
+
+def test_bgp_match(spark):
+    """Basic-graph-pattern matcher: constant filters, shared-variable
+    joins, repeated vars inside a pattern, all-constant existence
+    checks, projection, distinct."""
+    from psyndex2linkeddata_spark.plans.query import bgp_match
+
+    t = spark.createDataFrame(
+        [
+            ("w1", "type", "Work"), ("w2", "type", "Work"),
+            ("w1", "lang", "de"), ("w2", "lang", "en"),
+            ("w1", "author", "p1"), ("w2", "author", "p1"),
+            ("p1", "name", "Ada"), ("p1", "knows", "p1"),
+            ("w3", "lang", "fr"),  # no type triple -> excluded by join
+        ],
+        ["subj", "pred", "obj"],
+    )
+
+    # join two patterns on ?w
+    got = sorted(
+        tuple(r)
+        for r in bgp_match(
+            t, [("?w", "type", "Work"), ("?w", "lang", "?l")]
+        ).collect()
+    )
+    assert got == [("w1", "de"), ("w2", "en")]
+
+    # three-pattern chain through ?p, with projection
+    got = sorted(
+        tuple(r)
+        for r in bgp_match(
+            t,
+            [("?w", "author", "?p"), ("?p", "name", "?n"), ("?w", "lang", "?l")],
+            select=["n", "l"],
+        ).collect()
+    )
+    assert got == [("Ada", "de"), ("Ada", "en")]
+
+    # repeated variable inside one pattern: only the self-loop matches
+    got = [tuple(r) for r in bgp_match(t, [("?x", "knows", "?x")]).collect()]
+    assert got == [("p1",)]
+
+    # all-constant existence check gates the other pattern
+    assert (
+        bgp_match(t, [("p1", "name", "Ada"), ("?w", "lang", "?l")]).count() == 3
+    )
+    assert (
+        bgp_match(t, [("p1", "name", "Grace"), ("?w", "lang", "?l")]).count() == 0
+    )
+
+    # distinct collapses duplicate bindings
+    assert (
+        bgp_match(t, [("?w", "author", "?p")], select=["p"], distinct=True).count()
+        == 1
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bgp_match(t, [])
+    with _pytest.raises(ValueError):
+        bgp_match(t, [("?w", "lang", "?l")], select=["missing"])
