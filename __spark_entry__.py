@@ -942,6 +942,27 @@ def q_bgp_query(spark, sf):
     )
 
 
+def q_path_query(spark, sf):
+    """SPARQL property path pred+ : semi-naive transitive closure of a
+    containment hierarchy (customer→nation→region) used as a BGP
+    pattern; oracle is a recursive CTE over the same edges."""
+    from psyndex2linkeddata_spark.plans.query import bgp_match
+
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    t = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("in").alias("pred"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("obj"),
+    ).union(
+        n.select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")),
+            F.lit("in"),
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")),
+        )
+    )
+    return bgp_match(t, [("?x", "in+", "?y")])
+
+
 def q_pagerank(spark, sf):
     """Fixed-point PageRank over a deterministic supplier→part link
     graph (same edge derivation family as connected_components, but
@@ -1120,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "pagerank": q_pagerank,
         "bgp_query": q_bgp_query,
+        "path_query": q_path_query,
         "kg_pipeline_synthetic": q_kg_pipeline_synthetic,
         "pii_scrub": q_pii_scrub,
         "multimodal_features": q_multimodal_features,
@@ -2531,6 +2553,19 @@ def oracle_sql() -> dict[str, str]:
             where a.pred = '{_RDF_TYPE}' and a.obj = '{_BF_WORK}'
               and b.pred = '{_SCHEMA_LANG}'
               and c.pred = '{_PXP}sourceOrigin'
+        """,
+        "path_query": """
+            with recursive
+            e as (select 'c' || c_custkey as src, 'n' || c_nationkey as dst
+                  from customer
+                  union all
+                  select 'n' || n_nationkey, 'r' || n_regionkey from nation),
+            closure(src, dst) as (
+              select src, dst from e
+              union
+              select c.src, e.dst from closure c join e on c.dst = e.src
+            )
+            select src as x, dst as y from closure
         """,
         "multimodal_features": """
             -- mirrors the mapInPandas stub decoder: feature chunk i is

@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "token_counts",
     "fingerprints",
     "connected_components",
+    "pagerank",
+    "bpe_tokens",
+    "bgp_query",
+    "path_query",
     "last_wins",
 ]
 

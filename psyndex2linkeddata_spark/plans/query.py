@@ -23,13 +23,63 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["bgp_match"]
+__all__ = ["bgp_match", "path_closure"]
 
 _POS = ("subj", "pred", "obj")
 
 
 def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
+
+
+def path_closure(
+    triples: DataFrame,
+    pred: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Transitive closure of one predicate — the SPARQL ``pred+``
+    property path — as (subj, obj) distinct pairs reachable in ≥ 1 hop.
+
+    Semi-naive iteration: each round extends only the previous round's
+    NEW pairs by one hop (a join against the base edge set) and
+    anti-joins out pairs already known, so work per round is
+    proportional to the frontier, not the closure. Rounds are
+    O(diameter); lineage is truncated per round with lazy
+    localCheckpoint exactly like operators/components.py. Hierarchies
+    this is used for (genre broader-trees, org containment, geo
+    containment) have single-digit depth.
+    """
+    e = (
+        triples.where(F.col("pred") == F.lit(pred))
+        .select("subj", "obj")
+        .where(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    closure = e
+    frontier = e
+    for _ in range(max_iter):
+        # explicit renames (not DataFrame aliases): lazy localCheckpoint
+        # rewrites plan constraints, and self-join alias attributes can
+        # fall out of the rewritten output (key-not-found in
+        # rewriteStatsAndConstraints on Spark 4.1)
+        ext = (
+            frontier.select(F.col("subj").alias("_ps"), F.col("obj").alias("_pm"))
+            .join(
+                e.select(F.col("subj").alias("_pm"), F.col("obj").alias("_po")),
+                "_pm",
+            )
+            .select(F.col("_ps").alias("subj"), F.col("_po").alias("obj"))
+            .distinct()
+        )
+        new = ext.join(closure, ["subj", "obj"], "left_anti").localCheckpoint(
+            eager=False
+        )
+        if new.limit(1).count() == 0:
+            break
+        closure = closure.union(new).localCheckpoint(eager=False)
+        frontier = new
+    return closure
 
 
 def bgp_match(
@@ -49,10 +99,18 @@ def bgp_match(
     for pi, pat in enumerate(patterns):
         if len(pat) != 3:
             raise ValueError(f"pattern must be (s, p, o): {pat!r}")
-        df = triples
+        s_term, p_term, o_term = pat
+        if not _is_var(p_term) and p_term.endswith("+") and len(p_term) > 1:
+            # property path pred+ : the pattern's relation is the
+            # transitive closure of that predicate
+            df = path_closure(triples, p_term[:-1])
+            positions = [("subj", s_term), ("obj", o_term)]
+        else:
+            df = triples
+            positions = list(zip(_POS, pat))
         seen: dict[str, str] = {}  # var -> first position column
         cols = []
-        for pos, term in zip(_POS, pat):
+        for pos, term in positions:
             if _is_var(term):
                 name = term[1:]
                 if not name:

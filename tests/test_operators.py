@@ -1614,3 +1614,38 @@ def test_bgp_match(spark):
         bgp_match(t, [])
     with _pytest.raises(ValueError):
         bgp_match(t, [("?w", "lang", "?l")], select=["missing"])
+
+
+def test_path_closure_and_bgp_property_path(spark):
+    """pred+ transitive closure: semi-naive fixpoint vs hand-computed
+    reachability, and its use as a BGP pattern joined with a plain one."""
+    from psyndex2linkeddata_spark.plans.query import bgp_match, path_closure
+
+    t = spark.createDataFrame(
+        [
+            ("a", "in", "b"), ("b", "in", "c"), ("c", "in", "d"),
+            ("x", "in", "c"),
+            ("b", "in", "b"),          # self-loop must not diverge
+            ("a", "type", "Leaf"), ("x", "type", "Leaf"),
+            ("a", "other", "z"),       # different predicate ignored
+        ],
+        ["subj", "pred", "obj"],
+    )
+    got = {(r.subj, r.obj) for r in path_closure(t, "in").collect()}
+    expect = {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("b", "b"),
+        ("c", "d"), ("x", "c"), ("x", "d"),
+    }
+    assert got == expect
+
+    # pred+ inside a BGP, joined against a type gate on ?x
+    got = sorted(
+        tuple(r)
+        for r in bgp_match(
+            t, [("?x", "type", "Leaf"), ("?x", "in+", "?anc")]
+        ).collect()
+    )
+    assert got == [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("x", "c"), ("x", "d")
+    ]
