@@ -942,6 +942,28 @@ def q_bgp_query(spark, sf):
     )
 
 
+def q_bgp_optional(spark, sf):
+    """SPARQL OPTIONAL: a 'featured' triple exists for every third doc
+    only; solutions keep their bindings with ?feat null elsewhere
+    (left-outer group join on the shared ?w)."""
+    from psyndex2linkeddata_spark.plans.query import bgp_match
+
+    t = q_kg_triples(spark, sf).select("subj", "pred", "obj")
+    d = _t(spark, sf, "documents")
+    extra = d.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(
+            F.lit(_WORKS + "doc"), F.col("doc_id").cast("string"), F.lit("_work")
+        ).alias("subj"),
+        F.lit(_PXP + "featured").alias("pred"),
+        F.lit("yes").alias("obj"),
+    )
+    return bgp_match(
+        t.union(extra),
+        [("?w", _RDF_TYPE, _BF_WORK), ("?w", _SCHEMA_LANG, "?lang")],
+        optional=[[("?w", _PXP + "featured", "?feat")]],
+    )
+
+
 def q_path_query(spark, sf):
     """SPARQL property path pred+ : semi-naive transitive closure of a
     containment hierarchy (customer→nation→region) used as a BGP
@@ -1142,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "bgp_query": q_bgp_query,
         "path_query": q_path_query,
+        "bgp_optional": q_bgp_optional,
         "kg_pipeline_synthetic": q_kg_pipeline_synthetic,
         "pii_scrub": q_pii_scrub,
         "multimodal_features": q_multimodal_features,
@@ -2566,6 +2589,13 @@ def oracle_sql() -> dict[str, str]:
               select c.src, e.dst from closure c join e on c.dst = e.src
             )
             select src as x, dst as y from closure
+        """,
+        "bgp_optional": """
+            select 'https://w3id.org/zpid/resources/works/doc' || doc_id
+                   || '_work' as w,
+                   lang,
+                   case when doc_id % 3 = 0 then 'yes' end as feat
+            from documents
         """,
         "multimodal_features": """
             -- mirrors the mapInPandas stub decoder: feature chunk i is

@@ -87,10 +87,18 @@ def bgp_match(
     patterns: list[tuple[str, str, str]],
     select: list[str] | None = None,
     distinct: bool = False,
+    optional: list[list[tuple[str, str, str]]] | None = None,
 ) -> DataFrame:
     """Match a conjunction of triple patterns; returns one column per
     variable (name without the ``?``), optionally projected to `select`
-    (order respected) and de-duplicated with `distinct`."""
+    (order respected) and de-duplicated with `distinct`.
+
+    `optional` is a list of pattern GROUPS, each matched like SPARQL
+    OPTIONAL {...}: the group joins left-outer on the variables it
+    shares with the required patterns, so non-matching solutions keep
+    their bindings with the group's exclusive variables null. Each group
+    must share at least one variable with the required part (an
+    unanchored OPTIONAL is a cross product — rejected)."""
     if not patterns:
         raise ValueError("empty basic graph pattern")
 
@@ -136,6 +144,16 @@ def bgp_match(
                 result = result.crossJoin(df)
             bound += [v for v in seen if v not in bound]
     assert result is not None
+
+    for group in optional or []:
+        odf = bgp_match(triples, group)
+        on = [v for v in odf.columns if v in bound]
+        if not on:
+            raise ValueError(
+                f"OPTIONAL group shares no variable with the required patterns: {group!r}"
+            )
+        result = result.join(odf, on=on, how="left")
+        bound += [v for v in odf.columns if v not in bound]
 
     markers = [c for c in result.columns if c.startswith("_m")]
     if markers:

@@ -1649,3 +1649,34 @@ def test_path_closure_and_bgp_property_path(spark):
     assert got == [
         ("a", "b"), ("a", "c"), ("a", "d"), ("x", "c"), ("x", "d")
     ]
+
+
+def test_bgp_optional(spark):
+    """OPTIONAL group semantics: left-join on shared vars, null for
+    non-matching solutions, unanchored groups rejected."""
+    from psyndex2linkeddata_spark.plans.query import bgp_match
+
+    t = spark.createDataFrame(
+        [
+            ("w1", "type", "Work"), ("w2", "type", "Work"),
+            ("w1", "doi", "10.1/x"),
+            ("w1", "issued", "2020"), ("w2", "issued", "2021"),
+        ],
+        ["subj", "pred", "obj"],
+    )
+    got = {
+        r.w: (r.d, r.y)
+        for r in bgp_match(
+            t,
+            [("?w", "type", "Work")],
+            optional=[[("?w", "doi", "?d")], [("?w", "issued", "?y")]],
+        ).collect()
+    }
+    assert got == {"w1": ("10.1/x", "2020"), "w2": (None, "2021")}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bgp_match(
+            t, [("?w", "type", "Work")], optional=[[("?a", "doi", "?d")]]
+        )
