@@ -53,6 +53,9 @@ def main() -> None:
         ("bm25_topk", "BM25 retrieval (broadcast query vocab before the tf groupBy, WindowGroupLimit top-k)"),
         ("lm_perplexity", "bigram-LM mean-NLL (broadcast model log tables, one doc-keyed sum)"),
         ("corpus_stats", "data-card rollup (one Expand + aggregate, all levels in one shuffle)"),
+        ("bpe_tokens", "BPE train+encode (vocab groupBy pass, Arrow-batched encode, final summary agg)"),
+        ("bgp_query", "BGP self-joins (constant-pred filters pushed, Catalyst join planning)"),
+        ("bgp_optional", "BGP OPTIONAL (left-outer group join on shared variable)"),
     ]
     out = ["# PLANS — physical plan evidence (sf0.001, local[8])\n"]
     out.append(
