@@ -1680,3 +1680,14 @@ def test_bgp_optional(spark):
         bgp_match(
             t, [("?w", "type", "Work")], optional=[[("?a", "doi", "?d")]]
         )
+
+
+def test_bpe_merge_roundtrip(spark, tmp_path):
+    """save_merges/load_merges: the tokenizer artifact survives parquet
+    roundtrip with rank order intact."""
+    from psyndex2linkeddata_spark.operators.bpe import load_merges, save_merges
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "r</w>"), ("n", "e")]
+    p = str(tmp_path / "merges.parquet")
+    save_merges(spark, merges, p)
+    assert load_merges(spark, p) == merges
