@@ -964,6 +964,27 @@ def q_bgp_optional(spark, sf):
     )
 
 
+def q_sparql_query(spark, sf):
+    """The restricted SPARQL SELECT front-end end-to-end: text query →
+    bgp_match plan (BGP + FILTER + VALUES + projection) over the
+    kg_triples graph; oracle derives the same solutions relationally."""
+    from psyndex2linkeddata_spark.plans.query import sparql_select
+
+    t = q_kg_triples(spark, sf).select("subj", "pred", "obj")
+    return sparql_select(
+        t,
+        f"""
+        SELECT ?w ?lang WHERE {{
+          ?w <{_RDF_TYPE}> <{_BF_WORK}> .
+          ?w <{_SCHEMA_LANG}> ?lang .
+          ?w <{_PXP}nChars> ?nc .
+          FILTER(cast(?nc as int) >= 200)
+          VALUES ?lang {{ "de" "en" }}
+        }}
+        """,
+    )
+
+
 def q_path_query(spark, sf):
     """SPARQL property path pred+ : semi-naive transitive closure of a
     containment hierarchy (customer→nation→region) used as a BGP
@@ -1165,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_query": q_bgp_query,
         "path_query": q_path_query,
         "bgp_optional": q_bgp_optional,
+        "sparql_query": q_sparql_query,
         "kg_pipeline_synthetic": q_kg_pipeline_synthetic,
         "pii_scrub": q_pii_scrub,
         "multimodal_features": q_multimodal_features,
@@ -2596,6 +2618,13 @@ def oracle_sql() -> dict[str, str]:
                    lang,
                    case when doc_id % 3 = 0 then 'yes' end as feat
             from documents
+        """,
+        "sparql_query": """
+            select 'https://w3id.org/zpid/resources/works/doc' || doc_id
+                   || '_work' as w,
+                   lang
+            from documents
+            where n_chars >= 200 and lang in ('de', 'en')
         """,
         "multimodal_features": """
             -- mirrors the mapInPandas stub decoder: feature chunk i is

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["bgp_match", "path_closure"]
+__all__ = ["bgp_match", "path_closure", "sparql_select"]
 
 _POS = ("subj", "pred", "obj")
 
@@ -88,6 +88,8 @@ def bgp_match(
     select: list[str] | None = None,
     distinct: bool = False,
     optional: list[list[tuple[str, str, str]]] | None = None,
+    values: dict[str, list[str]] | None = None,
+    filter: str | None = None,
 ) -> DataFrame:
     """Match a conjunction of triple patterns; returns one column per
     variable (name without the ``?``), optionally projected to `select`
@@ -98,7 +100,16 @@ def bgp_match(
     shares with the required patterns, so non-matching solutions keep
     their bindings with the group's exclusive variables null. Each group
     must share at least one variable with the required part (an
-    unanchored OPTIONAL is a cross product — rejected)."""
+    unanchored OPTIONAL is a cross product — rejected).
+
+    `values` is SPARQL VALUES: {var: [allowed, ...]} restricts a bound
+    variable to an explicit list — compiled to an `isin` filter (a
+    broadcast-friendly literal predicate, never a join).
+
+    `filter` is SPARQL FILTER as a Spark SQL boolean expression over
+    the variable columns (e.g. ``"lang = 'de' or nc > 100"``), applied
+    after the required patterns and VALUES, before OPTIONAL groups —
+    matching SPARQL's group-level filter placement."""
     if not patterns:
         raise ValueError("empty basic graph pattern")
 
@@ -145,6 +156,13 @@ def bgp_match(
             bound += [v for v in seen if v not in bound]
     assert result is not None
 
+    for var, allowed in (values or {}).items():
+        if var not in bound:
+            raise ValueError(f"VALUES variable not bound by the patterns: ?{var}")
+        result = result.where(F.col(var).isin(list(allowed)))
+    if filter is not None:
+        result = result.where(F.expr(filter))
+
     for group in optional or []:
         odf = bgp_match(triples, group)
         on = [v for v in odf.columns if v in bound]
@@ -164,3 +182,148 @@ def bgp_match(
             raise ValueError(f"unbound select variables: {unknown}")
         result = result.select(*select)
     return result.distinct() if distinct else result
+
+
+# ---------------------------------------------------------------------------
+# restricted SPARQL SELECT front-end
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_TOKEN = _re.compile(
+    r"""\s*(?:
+        (?P<var>\?[A-Za-z_]\w*)
+      | (?P<iri><[^<>\s]*>\+?)
+      | (?P<lit>"(?:[^"\\]|\\.)*"\+?)
+      | (?P<punct>[{}().])
+      | (?P<word>[^\s{}().]+)
+    )""",
+    _re.X,
+)
+
+
+def _tokens(q: str) -> list[str]:
+    out, i, q = [], 0, q.strip()
+    while i < len(q):
+        m = _TOKEN.match(q, i)
+        if not m or m.end() == i:
+            raise ValueError(f"SPARQL lex error at: {q[i:i+30]!r}")
+        out.append(m.group().strip())
+        i = m.end()
+    return out
+
+
+def _term(tok: str) -> str:
+    """Token → bgp_match term: ?var stays; <iri> strips brackets;
+    "lit" unquotes; bare words pass through. A trailing + (property
+    path) survives the stripping."""
+    plus = ""
+    if tok.endswith("+") and not tok.startswith("?"):
+        tok, plus = tok[:-1], "+"
+    if tok.startswith("<") and tok.endswith(">"):
+        return tok[1:-1] + plus
+    if tok.startswith('"') and tok.endswith('"'):
+        return (
+            tok[1:-1]
+            .replace('\\"', '"')
+            .replace("\\\\", "\\")
+            + plus
+        )
+    return tok + plus
+
+
+def _parse_group(toks: list[str], i: int):
+    """Parse a { ... } group body starting AFTER the opening brace.
+    Returns (patterns, optionals, values, filters, next_index)."""
+    pats, opts, vals, filts = [], [], {}, []
+    while i < len(toks):
+        t = toks[i]
+        up = t.upper()
+        if t == "}":
+            return pats, opts, vals, filts, i + 1
+        if up == "OPTIONAL":
+            if toks[i + 1] != "{":
+                raise ValueError("OPTIONAL must be followed by {")
+            g_pats, g_opts, g_vals, g_filts, i = _parse_group(toks, i + 2)
+            if g_opts or g_vals or g_filts:
+                raise ValueError("nested OPTIONAL/VALUES/FILTER not supported")
+            opts.append(g_pats)
+            continue
+        if up == "VALUES":
+            var = toks[i + 1]
+            if not var.startswith("?") or toks[i + 2] != "{":
+                raise ValueError("VALUES syntax: VALUES ?var { term ... }")
+            i += 3
+            allowed = []
+            while toks[i] != "}":
+                allowed.append(_term(toks[i]))
+                i += 1
+            vals[var[1:]] = allowed
+            i += 1
+            continue
+        if up == "FILTER":
+            if toks[i + 1] != "(":
+                raise ValueError("FILTER must be followed by (")
+            depth, j, parts = 1, i + 2, []
+            while depth:
+                tok = toks[j]
+                depth += tok == "(";  depth -= tok == ")"
+                if depth:
+                    parts.append(tok[1:] if tok.startswith("?") else tok)
+                j += 1
+            filts.append(" ".join(parts))
+            i = j
+            continue
+        # a triple pattern: three terms, optional trailing dot
+        s, p, o = toks[i : i + 3]
+        pats.append((_term(s) if not s.startswith("?") else s,
+                     _term(p) if not p.startswith("?") else p,
+                     _term(o) if not o.startswith("?") else o))
+        i += 3
+        if i < len(toks) and toks[i] == ".":
+            i += 1
+    raise ValueError("unterminated group: missing }")
+
+
+def sparql_select(triples: DataFrame, query: str) -> DataFrame:
+    """Restricted SPARQL SELECT front-end over bgp_match:
+
+        SELECT [DISTINCT] ?a ?b | *
+        WHERE { tp . tp . OPTIONAL { tp } FILTER(?y >= 2021)
+                VALUES ?l { "de" "en" } }
+
+    Triple-pattern terms: ?var, <iri> (angle brackets stripped),
+    "literal", bare word; a trailing + on a constant predicate is the
+    transitive property path. FILTER bodies are Spark SQL over the
+    variable columns (?var → column). Not supported (use bgp_match /
+    DataFrame ops directly): UNION, GROUP BY, ORDER BY, subqueries,
+    nested OPTIONAL."""
+    toks = _tokens(query)
+    if not toks or toks[0].upper() != "SELECT":
+        raise ValueError("query must start with SELECT")
+    i = 1
+    distinct = i < len(toks) and toks[i].upper() == "DISTINCT"
+    i += distinct
+    sel: list[str] | None = []
+    if toks[i] == "*":
+        sel, i = None, i + 1
+    else:
+        while toks[i].startswith("?"):
+            sel.append(toks[i][1:])
+            i += 1
+        if not sel:
+            raise ValueError("SELECT needs variables or *")
+    if toks[i].upper() != "WHERE" or toks[i + 1] != "{":
+        raise ValueError("expected WHERE {")
+    pats, opts, vals, filts, i = _parse_group(toks, i + 2)
+    if i != len(toks):
+        raise ValueError(f"trailing tokens after }}: {toks[i:]}")
+    return bgp_match(
+        triples,
+        pats,
+        select=sel,
+        distinct=distinct,
+        optional=opts or None,
+        values=vals or None,
+        filter=" and ".join(f"({f})" for f in filts) if filts else None,
+    )

@@ -1691,3 +1691,97 @@ def test_bpe_merge_roundtrip(spark, tmp_path):
     p = str(tmp_path / "merges.parquet")
     save_merges(spark, merges, p)
     assert load_merges(spark, p) == merges
+
+
+def test_bgp_values_and_filter(spark):
+    """VALUES restricts a variable to a literal list (isin predicate);
+    FILTER applies a SQL boolean over bindings before OPTIONAL."""
+    from psyndex2linkeddata_spark.plans.query import bgp_match
+
+    t = spark.createDataFrame(
+        [
+            ("w1", "lang", "de"), ("w2", "lang", "en"), ("w3", "lang", "fr"),
+            ("w1", "year", "2019"), ("w2", "year", "2021"), ("w3", "year", "2022"),
+            ("w2", "doi", "10.1/b"),
+        ],
+        ["subj", "pred", "obj"],
+    )
+    got = sorted(
+        tuple(r)
+        for r in bgp_match(
+            t,
+            [("?w", "lang", "?l"), ("?w", "year", "?y")],
+            values={"l": ["de", "en"]},
+        ).collect()
+    )
+    assert got == [("w1", "de", "2019"), ("w2", "en", "2021")]
+
+    got = {
+        r.w: r.d
+        for r in bgp_match(
+            t,
+            [("?w", "lang", "?l"), ("?w", "year", "?y")],
+            filter="cast(y as int) >= 2021",
+            optional=[[("?w", "doi", "?d")]],
+        ).collect()
+    }
+    assert got == {"w2": "10.1/b", "w3": None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bgp_match(t, [("?w", "lang", "?l")], values={"nope": ["x"]})
+
+
+def test_sparql_select_frontend(spark):
+    """sparql_select parses the restricted SELECT grammar down to
+    bgp_match: IRIs, literals, property paths, OPTIONAL, FILTER,
+    VALUES, DISTINCT, and * projection."""
+    from psyndex2linkeddata_spark.plans.query import sparql_select
+
+    t = spark.createDataFrame(
+        [
+            ("w1", "http://x/type", "Work"), ("w2", "http://x/type", "Work"),
+            ("w1", "http://x/lang", "de"), ("w2", "http://x/lang", "en"),
+            ("w1", "http://x/year", "2019"), ("w2", "http://x/year", "2021"),
+            ("w2", "http://x/doi", "10.1/b"),
+            ("a", "in", "b"), ("b", "in", "c"),
+        ],
+        ["subj", "pred", "obj"],
+    )
+
+    q = """
+      SELECT ?w ?l WHERE {
+        ?w <http://x/type> "Work" .
+        ?w <http://x/lang> ?l .
+        VALUES ?l { "de" "en" }
+      }
+    """
+    got = sorted(tuple(r) for r in sparql_select(t, q).collect())
+    assert got == [("w1", "de"), ("w2", "en")]
+
+    q = """
+      SELECT DISTINCT ?w ?d WHERE {
+        ?w <http://x/year> ?y .
+        FILTER(cast(?y as int) >= 2020)
+        OPTIONAL { ?w <http://x/doi> ?d }
+      }
+    """
+    got = [tuple(r) for r in sparql_select(t, q).collect()]
+    assert got == [("w2", "10.1/b")]
+
+    # property path with a bare-word predicate, star projection
+    got = sorted(
+        tuple(r) for r in sparql_select(t, "SELECT * WHERE { ?x in+ ?y }").collect()
+    )
+    assert got == [("a", "b"), ("a", "c"), ("b", "c")]
+
+    import pytest as _pytest
+
+    for bad in [
+        "ASK { ?s ?p ?o }",
+        "SELECT ?x WHERE { ?x <p> ?y",
+        "SELECT WHERE { ?x <p> ?y }",
+    ]:
+        with _pytest.raises((ValueError, IndexError)):
+            sparql_select(t, bad)
