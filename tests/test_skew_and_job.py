@@ -114,3 +114,33 @@ def test_warehouse_triple_table(spark, tmp_path):
         assert read_triples_table(spark, "wh_test.triples").count() == 10
     finally:
         spark.sql("drop database if exists wh_test cascade")
+
+
+def test_query_job_cli(spark, tmp_path_factory):
+    """jobs/query.py: SPARQL text → solutions parquet over a triples
+    table written by the conversion pipeline surface."""
+    import os
+
+    from psyndex2linkeddata_spark.jobs.query import main
+
+    base = str(tmp_path_factory.mktemp("qjob"))
+    tpath = os.path.join(base, "triples.parquet")
+    spark.createDataFrame(
+        [
+            ("w1", "http://x/type", "Work"),
+            ("w2", "http://x/type", "Work"),
+            ("w1", "http://x/lang", "de"),
+            ("w2", "http://x/lang", "en"),
+        ],
+        ["subj", "pred", "obj"],
+    ).write.parquet(tpath)
+    out = os.path.join(base, "solutions.parquet")
+    qf = os.path.join(base, "q.rq")
+    with open(qf, "w") as f:
+        f.write(
+            'SELECT ?w ?l WHERE { ?w <http://x/type> "Work" . '
+            "?w <http://x/lang> ?l . }"
+        )
+    main(["--triples", tpath, "--query-file", qf, "--out", out])
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == [("w1", "de"), ("w2", "en")]
