@@ -62,15 +62,17 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank_scaled", F.lit(0).cast("bigint"))
 
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    # out-degree is folded into the edge table ONCE — one fewer join per
+    # superstep (the degree count shuffles on src a single time here)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(deg, "src").localCheckpoint()
 
     base = (scale * (100 - damping_pct)) // 100 // n
     ranks = nodes.withColumn("rank_scaled", F.lit(scale // n).cast("bigint"))
 
     for _ in range(n_iter):
         contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(deg, "src")
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_scaled div outdeg").alias("c"),
