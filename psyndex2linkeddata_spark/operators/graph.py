@@ -39,6 +39,7 @@ def pagerank(
     n_iter: int = 10,
     damping_pct: int = 85,
     scale: int = 10**9,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """(node, rank_scaled) after `n_iter` supersteps. rank_scaled is the
     PageRank value times `scale`, floored — sum over nodes ≤ scale
@@ -46,6 +47,14 @@ def pagerank(
 
     damping_pct is the damping factor in percent (85 = the classic 0.85)
     so the teleport and damping terms stay in integer arithmetic.
+
+    redistribute_dangling=True selects the full stochastic-matrix
+    variant: each superstep sums the rank sitting on sink nodes (no
+    out-edges) and spreads its damped share uniformly — the standard
+    Pregel-style scalar aggregator, one one-row driver action per
+    superstep (floor division keeps it engine-exact). Default False =
+    the simplified variant (dangling mass decays), which is what the
+    driver oracle replays.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
@@ -70,6 +79,13 @@ def pagerank(
     base = (scale * (100 - damping_pct)) // 100 // n
     ranks = nodes.withColumn("rank_scaled", F.lit(scale // n).cast("bigint"))
 
+    dangling = (
+        nodes.join(deg.select(F.col("src").alias("node")), "node", "left_anti")
+        .localCheckpoint()
+        if redistribute_dangling
+        else None
+    )
+
     for _ in range(n_iter):
         contrib = (
             e_deg.join(ranks, e_deg["src"] == ranks["node"])
@@ -80,10 +96,18 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
+        share = 0
+        if dangling is not None:
+            dsum = (
+                ranks.join(dangling, "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("d"))
+                .collect()[0]["d"]
+            )
+            share = (damping_pct * int(dsum)) // 100 // n
         ranks = nodes.join(contrib, "node", "left").select(
             "node",
             (
-                F.lit(base).cast("bigint")
+                F.lit(base + share).cast("bigint")
                 + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
             ).alias("rank_scaled"),
         )

@@ -1785,3 +1785,42 @@ def test_sparql_select_frontend(spark):
     ]:
         with _pytest.raises((ValueError, IndexError)):
             sparql_select(t, bad)
+
+
+def test_pagerank_dangling_redistribution(spark):
+    """redistribute_dangling=True vs an independent integer replay of
+    the full stochastic variant; mass is conserved up to floor loss
+    (strictly more total rank than the decaying variant)."""
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "e")]
+    # e is dangling
+    from psyndex2linkeddata_spark.operators.graph import pagerank
+
+    d = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.node: r.rank_scaled
+        for r in pagerank(d, n_iter=8, redistribute_dangling=True).collect()
+    }
+
+    scale, damp = 10**9, 85
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out: dict[str, list[str]] = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    base = (scale * (100 - damp)) // 100 // n
+    r = {v: scale // n for v in nodes}
+    for _ in range(8):
+        s = {v: 0 for v in nodes}
+        for v, ts in out.items():
+            c = r[v] // len(ts)
+            for t in ts:
+                s[t] += c
+        dsum = sum(r[v] for v in nodes if v not in out)
+        share = (damp * dsum) // 100 // n
+        r = {v: base + share + (damp * s[v]) // 100 for v in nodes}
+
+    assert got == r
+    decay = {
+        x.node: x.rank_scaled for x in pagerank(d, n_iter=8).collect()
+    }
+    assert sum(got.values()) > sum(decay.values())
