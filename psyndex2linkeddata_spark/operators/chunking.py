@@ -158,6 +158,7 @@ def pack_sequences(
     text_col: str = "text",
     seq_len: int = 64,
     n_shards: int = 8,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing for LM training: concatenate the shard's token
     stream in `id_col` order and cut it every `seq_len` tokens (the
@@ -193,7 +194,10 @@ def pack_sequences(
 
     if seq_len <= 0 or n_shards <= 0:
         raise ValueError("require seq_len > 0 and n_shards > 0")
-    toks = tokens(F.col(text_col))
+    # tokens_col: pack a pre-tokenized array column (e.g. operators/bpe
+    # bpe_encode output) instead of whitespace-tokenizing text — the
+    # real-tokenizer pre-training shape; the packing plan is identical
+    toks = F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
     shard = F.pmod(
         _gram_hash32(F.col(id_col).cast("string")), F.lit(n_shards)
     ).cast("int")

@@ -1824,3 +1824,40 @@ def test_pagerank_dangling_redistribution(spark):
         x.node: x.rank_scaled for x in pagerank(d, n_iter=8).collect()
     }
     assert sum(got.values()) > sum(decay.values())
+
+
+def test_pack_sequences_with_bpe_tokens(spark):
+    """BPE-encode → pack_sequences(tokens_col=...): every non-final
+    sequence per shard is exactly seq_len subword tokens and the total
+    token count is conserved (nothing padded or dropped)."""
+    rows = [(i, "the lower new wide low newest " * 6) for i in range(8)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    from psyndex2linkeddata_spark.operators.bpe import (
+        bpe_encode,
+        bpe_word_counts,
+        train_bpe,
+    )
+    from psyndex2linkeddata_spark.operators.chunking import pack_sequences
+
+    merges = train_bpe(bpe_word_counts(d), n_merges=40)
+    enc = bpe_encode(d, merges)
+    total = enc.select(F.sum(F.size("bpe_tokens"))).collect()[0][0]
+
+    packed = pack_sequences(
+        enc, seq_len=16, n_shards=2, tokens_col="bpe_tokens"
+    ).collect()
+    assert sum(r.n_tokens for r in packed) == total
+    # all but each shard's final sequence carry exactly seq_len tokens
+    import collections
+
+    last = {
+        s: max(r.seq_id for r in packed if r.shard == s)
+        for s in {r.shard for r in packed}
+    }
+    for r in packed:
+        if r.seq_id != last[r.shard]:
+            assert r.n_tokens == 16, (r.shard, r.seq_id, r.n_tokens)
+    # subword stream reassembles into words at </w> boundaries
+    joined = " ".join(r.seq_text for r in sorted(packed, key=lambda r: (r.shard, r.seq_id)))
+    assert "</w>" in joined
