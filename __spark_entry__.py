@@ -964,6 +964,31 @@ def q_bgp_optional(spark, sf):
     )
 
 
+def q_kg_stats(spark, sf):
+    """Characteristic sets over the kg_triples graph (+ the partial
+    'featured' predicate, so two distinct entity shapes exist):
+    (pred_set, n_subjects) — the Neumann-Moerkotte structure statistic."""
+    from psyndex2linkeddata_spark.operators.graph import characteristic_sets
+
+    t = q_kg_triples(spark, sf).select("subj", "pred", "obj")
+    d = _t(spark, sf, "documents")
+    extra = d.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(
+            F.lit(_WORKS + "doc"), F.col("doc_id").cast("string"), F.lit("_work")
+        ).alias("subj"),
+        F.lit(_PXP + "featured").alias("pred"),
+        F.lit("yes").alias("obj"),
+    )
+    return characteristic_sets(t.union(extra))
+
+
+def q_pred_stats(spark, sf):
+    """Per-predicate triple/subject/object stats over kg_triples."""
+    from psyndex2linkeddata_spark.operators.graph import pred_stats
+
+    return pred_stats(q_kg_triples(spark, sf).select("subj", "pred", "obj"))
+
+
 def q_sparql_query(spark, sf):
     """The restricted SPARQL SELECT front-end end-to-end: text query →
     bgp_match plan (BGP + FILTER + VALUES + projection) over the
@@ -1187,6 +1212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_query": q_path_query,
         "bgp_optional": q_bgp_optional,
         "sparql_query": q_sparql_query,
+        "kg_stats": q_kg_stats,
+        "pred_stats": q_pred_stats,
         "kg_pipeline_synthetic": q_kg_pipeline_synthetic,
         "pii_scrub": q_pii_scrub,
         "multimodal_features": q_multimodal_features,
@@ -2625,6 +2652,42 @@ def oracle_sql() -> dict[str, str]:
                    lang
             from documents
             where n_chars >= 200 and lang in ('de', 'en')
+        """,
+        "kg_stats": f"""
+            with d as (select 'https://w3id.org/zpid/resources/works/doc'
+                              || doc_id || '_work' as subj, * from documents),
+            t as (
+              select subj, '{_RDF_TYPE}' as pred from d
+              union all select subj, '{_RDFS_LABEL}' from d
+              union all select subj, '{_SCHEMA_LANG}' from d
+              union all select subj, '{_PXP}sourceOrigin' from d
+              union all select subj, '{_PXP}nChars' from d
+              union all select subj, '{_PXP}featured' from d where doc_id % 3 = 0
+            ),
+            sets as (select subj,
+                            array_to_string(list_sort(list(distinct pred)), ',')
+                              as pred_set
+                     from t group by subj)
+            select pred_set, count(*) as n_subjects from sets group by 1
+        """,
+        "pred_stats": f"""
+            with d as (select 'https://w3id.org/zpid/resources/works/doc'
+                              || doc_id || '_work' as subj, * from documents),
+            t as (
+              select subj, '{_RDF_TYPE}' as pred, '{_BF_WORK}' as obj from d
+              union all
+              select subj, '{_RDFS_LABEL}', substr(text, 1, 80) from d
+              union all
+              select subj, '{_SCHEMA_LANG}', lang from d
+              union all
+              select subj, '{_PXP}sourceOrigin', source from d
+              union all
+              select subj, '{_PXP}nChars', cast(n_chars as varchar) from d
+            )
+            select pred, count(*) as n_triples,
+                   count(distinct subj) as n_subj,
+                   count(distinct obj) as n_obj
+            from t group by pred
         """,
         "multimodal_features": """
             -- mirrors the mapInPandas stub decoder: feature chunk i is

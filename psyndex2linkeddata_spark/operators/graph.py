@@ -29,7 +29,34 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "pred_stats", "characteristic_sets"]
+
+
+def pred_stats(triples: DataFrame) -> DataFrame:
+    """Per-predicate statistics of a triples table: (pred, n_triples,
+    n_subj, n_obj) — the first thing an RDF store's optimizer (and a KG
+    data card) wants. One uniform groupBy on pred; distinct counts are
+    exact (count distinct inside the aggregate, not approx) so the
+    driver oracle can replay them."""
+    return triples.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+    )
+
+
+def characteristic_sets(triples: DataFrame) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011): group
+    subjects by their exact predicate set — the structure statistic RDF
+    optimizers use for star-join cardinality, and a schema profile of an
+    emitted KG ("how many entities look like X"). Two shuffles, both on
+    uniform keys: subj (set assembly) then the set itself (counting).
+    The set is canonicalized as a sorted comma-join so engines agree on
+    grouping and ordering."""
+    sets = triples.groupBy("subj").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("pred"))).alias("pred_set")
+    )
+    return sets.groupBy("pred_set").agg(F.count(F.lit(1)).alias("n_subjects"))
 
 
 def pagerank(

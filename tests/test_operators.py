@@ -1861,3 +1861,27 @@ def test_pack_sequences_with_bpe_tokens(spark):
     # subword stream reassembles into words at </w> boundaries
     joined = " ".join(r.seq_text for r in sorted(packed, key=lambda r: (r.shard, r.seq_id)))
     assert "</w>" in joined
+
+
+def test_graph_stats(spark):
+    """pred_stats exact counts and characteristic_sets grouping on a
+    hand-built graph with two entity shapes."""
+    from psyndex2linkeddata_spark.operators.graph import (
+        characteristic_sets,
+        pred_stats,
+    )
+
+    t = spark.createDataFrame(
+        [
+            ("e1", "type", "Work"), ("e1", "lang", "de"),
+            ("e2", "type", "Work"), ("e2", "lang", "en"),
+            ("e3", "type", "Work"), ("e3", "lang", "de"), ("e3", "doi", "x"),
+            ("e3", "lang", "de"),  # duplicate triple: counted, set unchanged
+        ],
+        ["subj", "pred", "obj"],
+    )
+    ps = {r.pred: (r.n_triples, r.n_subj, r.n_obj) for r in pred_stats(t).collect()}
+    assert ps == {"type": (3, 3, 1), "lang": (4, 3, 2), "doi": (1, 1, 1)}
+
+    cs = {r.pred_set: r.n_subjects for r in characteristic_sets(t).collect()}
+    assert cs == {"lang,type": 2, "doi,lang,type": 1}
