@@ -964,6 +964,20 @@ def q_bgp_optional(spark, sf):
     )
 
 
+def q_hits(spark, sf):
+    """Kleinberg HITS over the supplier→part link graph; integer
+    fixed-point with l1 renormalization each half-step — bit-exactly
+    replayed by unrolled DuckDB CTE supersteps."""
+    from psyndex2linkeddata_spark.operators.graph import hits
+
+    li = _t(spark, sf, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), (F.col("l_partkey") % 50).cast("string")).alias("dst"),
+    )
+    return hits(edges, n_iter=3)
+
+
 def q_kg_stats(spark, sf):
     """Characteristic sets over the kg_triples graph (+ the partial
     'featured' predicate, so two distinct entity shapes exist):
@@ -1213,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_optional": q_bgp_optional,
         "sparql_query": q_sparql_query,
         "kg_stats": q_kg_stats,
+        "hits": q_hits,
         "pred_stats": q_pred_stats,
         "kg_pipeline_synthetic": q_kg_pipeline_synthetic,
         "pii_scrub": q_pii_scrub,
@@ -1331,6 +1346,56 @@ def oracle_sql() -> dict[str, str]:
                 group by e.dst
               ) c on n.node = c.node),""".format(i=i, prev=i - 1)
         for i in range(1, 6)
+    )
+    # hits: unrolled half-steps; the l1 normalization is a scalar
+    # subquery per half-step (the engine's driver-side aggregator)
+    hits_iters = "".join(
+        """
+            a{i}p as MATERIALIZED (
+              select n.node, coalesce(s.v, 0) as v
+              from nodes n left join (
+                select e.dst as node, sum(h.v) as v
+                from edges e join h{prev} h on e.src = h.node group by e.dst
+              ) s on n.node = s.node),
+            a{i} as MATERIALIZED (
+              select node,
+                     case when (select sum(v) from a{i}p) = 0 then v
+                          else v * 1000000000 // (select sum(v) from a{i}p)
+                     end as v
+              from a{i}p),
+            h{i}p as MATERIALIZED (
+              select n.node, coalesce(s.v, 0) as v
+              from nodes n left join (
+                select e.src as node, sum(a.v) as v
+                from edges e join a{i} a on e.dst = a.node group by e.src
+              ) s on n.node = s.node),
+            h{i} as MATERIALIZED (
+              select node,
+                     case when (select sum(v) from h{i}p) = 0 then v
+                          else v * 1000000000 // (select sum(v) from h{i}p)
+                     end as v
+              from h{i}p),""".format(i=i, prev=i - 1)
+        for i in range(1, 4)
+    )
+    hits_sql = (
+        """
+            with
+            edges as MATERIALIZED (select distinct 's' || l_suppkey as src,
+                                      'p' || (l_partkey % 50) as dst
+                      from lineitem),
+            nodes as MATERIALIZED (select src as node from edges
+                      union select dst from edges),
+            h0 as MATERIALIZED (select node,
+                          (select 1000000000 // count(*) from nodes) as v
+                   from nodes),"""
+        + hits_iters.rstrip(",")
+        + """
+            select n.node, cast(h.v as bigint) as hub_scaled,
+                   cast(a.v as bigint) as auth_scaled
+            from nodes n
+            join h3 h on n.node = h.node
+            join a3 a on n.node = a.node
+        """
     )
     pagerank_sql = (
         """
@@ -2608,6 +2673,7 @@ def oracle_sql() -> dict[str, str]:
             select node, min(lab) as component from reach group by node
         """,
         "pagerank": pagerank_sql,
+        "hits": hits_sql,
         "bgp_query": f"""
             with d as (select 'https://w3id.org/zpid/resources/works/doc'
                               || doc_id || '_work' as subj, * from documents),

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "pred_stats", "characteristic_sets"]
+__all__ = ["pagerank", "hits", "pred_stats", "characteristic_sets"]
 
 
 def pred_stats(triples: DataFrame) -> DataFrame:
@@ -140,3 +140,85 @@ def pagerank(
         )
         ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Kleinberg's HITS: (node, hub_scaled, auth_scaled) after `n_iter`
+    supersteps. auth(v) ← Σ hub(in-neighbors); hub(v) ← Σ auth(out-
+    neighbors); each half-step renormalizes so the vector sums to
+    `scale` (the l1 norm — division is integer floor, so scores are
+    engine-exact like pagerank's fixed point). The norm is a Pregel-
+    style scalar aggregator: one one-row driver action per half-step.
+
+    Each superstep is two edge joins + two uniform groupBys; hot hub/
+    authority nodes are map-side-combined integer sums.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    ).distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("hub_scaled", F.lit(0).cast("bigint")).withColumn(
+            "auth_scaled", F.lit(0).cast("bigint")
+        )
+
+    def _normalize(scores: DataFrame, col: str) -> DataFrame:
+        # no int64 overflow: the previous vector's l1 norm is ≤ scale
+        # after each normalization, any node's summed score is ≤ that
+        # total, so value * scale ≤ scale² = 1e18 < 2^63-1
+        total = scores.agg(F.coalesce(F.sum(col), F.lit(0))).collect()[0][0]
+        if not total:
+            return scores
+        return scores.select(
+            "node",
+            F.expr(f"{col} * {scale} div {int(total)}").alias(col),
+        )
+
+    hub = nodes.withColumn("hub_scaled", F.lit(scale // n).cast("bigint"))
+    auth = None
+    for _ in range(n_iter):
+        auth = (
+            nodes.join(
+                e.join(hub, e["src"] == hub["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub_scaled").alias("auth_scaled")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce("auth_scaled", F.lit(0)).cast("bigint").alias("auth_scaled"),
+            )
+        )
+        auth = _normalize(auth, "auth_scaled").localCheckpoint(eager=False)
+        hub = (
+            nodes.join(
+                e.join(auth, e["dst"] == auth["node"])
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("auth_scaled").alias("hub_scaled")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce("hub_scaled", F.lit(0)).cast("bigint").alias("hub_scaled"),
+            )
+        )
+        hub = _normalize(hub, "hub_scaled").localCheckpoint(eager=False)
+    return nodes.join(hub, "node", "left").join(auth, "node", "left").select(
+        "node",
+        F.coalesce("hub_scaled", F.lit(0)).cast("bigint").alias("hub_scaled"),
+        F.coalesce("auth_scaled", F.lit(0)).cast("bigint").alias("auth_scaled"),
+    )

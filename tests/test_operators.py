@@ -1885,3 +1885,46 @@ def test_graph_stats(spark):
 
     cs = {r.pred_set: r.n_subjects for r in characteristic_sets(t).collect()}
     assert cs == {"lang,type": 2, "doi,lang,type": 1}
+
+
+def test_hits_vs_pure_python_fixed_point(spark):
+    """hits vs an independent integer replay (l1-normalized half-steps,
+    floor division); the hub pointing at everything tops hub_scaled, the
+    page everyone cites tops auth_scaled."""
+    edges = [
+        ("h", "p1"), ("h", "p2"), ("h", "p3"),   # h links everywhere
+        ("u1", "p1"), ("u2", "p1"),              # p1 widely cited
+        ("p2", "p3"),
+    ]
+    from psyndex2linkeddata_spark.operators.graph import hits
+
+    d = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.node: (r.hub_scaled, r.auth_scaled)
+        for r in hits(d, n_iter=6).collect()
+    }
+
+    scale = 10**9
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out: dict[str, list[str]] = {}
+    inn: dict[str, list[str]] = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+        inn.setdefault(t, []).append(s)
+
+    def norm(v):
+        tot = sum(v.values())
+        if not tot:
+            return v
+        return {k: x * scale // tot for k, x in v.items()}
+
+    hub = {v: scale // n for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(6):
+        auth = norm({v: sum(hub[u] for u in inn.get(v, [])) for v in nodes})
+        hub = norm({v: sum(auth[t] for t in out.get(v, [])) for v in nodes})
+
+    assert got == {v: (hub[v], auth[v]) for v in nodes}
+    assert max(hub, key=hub.get) == "h"
+    assert max(auth, key=auth.get) == "p1"
