@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "fingerprints",
     "connected_components",
     "pagerank",
+    "hits",
+    "kg_stats",
     "bpe_tokens",
     "bgp_query",
     "path_query",
