@@ -33,7 +33,6 @@ Scale split — the part that must distribute vs the part that must not:
 
 from __future__ import annotations
 
-import functools
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
@@ -196,16 +195,26 @@ def bpe_encode(
     table broadcasts inside an Arrow-batched pandas UDF; per-word LRU
     cache exploits the Zipf head (most batch words repeat)."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    # closure-level cache: deserialized ONCE per python worker and kept
+    # across Arrow batches (an lru_cache defined inside the UDF body is
+    # rebuilt every batch, wasting the Zipf head). Bounded by a clear —
+    # web-text vocab is ~10^6-ish, well under the cap
+    cache: dict[str, tuple[str, ...]] = {}
 
     @F.pandas_udf(ArrayType(StringType()))
     def encode(texts: pd.Series) -> pd.Series:
-        @functools.lru_cache(maxsize=65536)
-        def enc(word: str) -> tuple[str, ...]:
-            return tuple(_encode_word(word, ranks))
-
         import re
 
         tok = re.compile(r"[^a-z0-9]+")
+
+        def enc(word: str) -> tuple[str, ...]:
+            r = cache.get(word)
+            if r is None:
+                if len(cache) >= 1_000_000:
+                    cache.clear()
+                r = tuple(_encode_word(word, ranks))
+                cache[word] = r
+            return r
 
         def per_doc(t):
             if t is None:
