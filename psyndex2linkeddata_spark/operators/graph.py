@@ -177,7 +177,11 @@ def hits(
     def _normalize(scores: DataFrame, col: str) -> DataFrame:
         # no int64 overflow: the previous vector's l1 norm is ≤ scale
         # after each normalization, any node's summed score is ≤ that
-        # total, so value * scale ≤ scale² = 1e18 < 2^63-1
+        # total, so value * scale ≤ scale² = 1e18 < 2^63-1.
+        # lazy-checkpoint BEFORE the sum: the aggregate materializes the
+        # half-step once and the normalize projection reads the
+        # materialized RDD instead of re-running the join+groupBy
+        scores = scores.localCheckpoint(eager=False)
         total = scores.agg(F.coalesce(F.sum(col), F.lit(0))).collect()[0][0]
         if not total:
             return scores
