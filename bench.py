@@ -120,6 +120,14 @@ def main() -> None:
         df = queries[name](spark, SF_DIR)
         _noop_write(df)
         results[name] = round(time.time() - t0, 3)
+        # iterative operators (connected components, pagerank, hits,
+        # path closure) localCheckpoint per round; those RDD blocks are
+        # NOT released by clearCache and accumulate across a 40+-query
+        # session, squeezing execution memory for later queries (the
+        # pipeline measured ~2x slower at the end of a full sweep than
+        # in isolation). Drop them between queries.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
 
     # headline: full KG pipeline throughput on a synthetic pages corpus
     # (SPARK_GRAFT_PAGES_PATH lets tools/scaling_bench.py generate once and
