@@ -23,6 +23,13 @@ in-degree are map-side-combined (integer sum is a partial agg); hub
 OUT-degree nodes fan out contributions but each edge row computes its
 contribution narrowly from the joined (rank, outdeg). The node set and
 degree table are computed once and reused across supersteps.
+
+Session hygiene: every round's localCheckpoint leaves an RDD block in
+JVM storage that `clearCache` does NOT release. In a long-lived session
+mixing iterative and scan-heavy jobs, unpersist finished checkpoints
+between jobs (`for r in sc._jsc.getPersistentRDDs().values():
+r.unpersist()` — as bench.py does); leaked blocks measured a 2-3×
+slowdown on subsequent memory-hungry stages.
 """
 
 from __future__ import annotations
