@@ -56,6 +56,8 @@ def main() -> None:
         ("bpe_tokens", "BPE train+encode (vocab groupBy pass, Arrow-batched encode, final summary agg)"),
         ("bgp_query", "BGP self-joins (constant-pred filters pushed, Catalyst join planning)"),
         ("bgp_optional", "BGP OPTIONAL (left-outer group join on shared variable)"),
+        ("kg_stats", "characteristic sets (subj set assembly -> set-keyed count, two uniform shuffles)"),
+        ("pred_stats", "per-pred stats (one uniform groupBy, exact distinct counts)"),
     ]
     out = ["# PLANS — physical plan evidence (sf0.001, local[8])\n"]
     out.append(
