@@ -1928,3 +1928,21 @@ def test_hits_vs_pure_python_fixed_point(spark):
     assert got == {v: (hub[v], auth[v]) for v in nodes}
     assert max(hub, key=hub.get) == "h"
     assert max(auth, key=auth.get) == "p1"
+
+
+def test_sparql_filter_string_literal_and_parens(spark):
+    """FILTER bodies survive retokenization: nested function calls,
+    double-quoted string literals (Spark SQL string literals), and
+    variable substitution inside parens."""
+    from psyndex2linkeddata_spark.plans.query import sparql_select
+
+    t = spark.createDataFrame(
+        [("w1", "lang", "de"), ("w2", "lang", "en"), ("w3", "lang", "deu")],
+        ["subj", "pred", "obj"],
+    )
+    q = '''SELECT ?w WHERE {
+        ?w <lang> ?l .
+        FILTER(substr(concat(?l, "x"), 1, 2) = "de" and length(?l) <= 2)
+    }'''
+    got = [r.w for r in sparql_select(t, q).collect()]
+    assert got == ["w1"]
