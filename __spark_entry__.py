@@ -1313,7 +1313,8 @@ def _lsh_topk_oracle() -> str:
         ranked as (
           select query_id, vec_id, cos,
                  row_number() over (partition by query_id
-                                    order by cos desc, vec_id) as rank
+                                    order by cast(cos as decimal(20,10)) desc,
+                                             vec_id) as rank
           from scored)
         select query_id, vec_id, round(cos, 4) as cos
         from ranked where rank <= 5
@@ -1891,7 +1892,8 @@ def oracle_sql() -> dict[str, str]:
             ranked as (
               select query_id, vec_id, cos,
                      row_number() over (partition by query_id
-                                        order by cos desc, vec_id) as rank
+                                        order by cast(cos as decimal(20,10)) desc,
+                                                 vec_id) as rank
               from scored)
             select query_id, vec_id, round(cos, 4) as cos
             from ranked where rank <= 10
@@ -1899,14 +1901,19 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": _lsh_topk_oracle(),
         "corpus_stats": """
             -- data-card rollup replay: same whitespace token count,
-            -- md5 distinct-text rate, GROUPING() arithmetic for lvl
+            -- md5 distinct-text rate, GROUPING() arithmetic for lvl.
+            -- Ratios at an exact 1e-4 grain: truncating integer division
+            -- then ONE IEEE bigint/10000.0 — bit-identical to Spark's
+            -- `div`-based emission (round(double,4) was not).
             select source, lang,
                    grouping(source) * 2 + grouping(lang) as lvl,
                    count(*) as n_docs,
-                   sum(ntok) as n_tokens,
-                   round(sum(ntok)::double / count(*), 4) as avg_doc_tokens,
+                   cast(sum(ntok) as bigint) as n_tokens,
+                   cast((sum(ntok) * 10000) // count(*) as bigint) / cast(10000 as double)
+                     as avg_doc_tokens,
                    count(distinct th) as n_distinct_texts,
-                   round((count(*) - count(distinct th))::double / count(*), 4)
+                   cast(((count(*) - count(distinct th)) * 10000) // count(*)
+                        as bigint) / cast(10000 as double)
                      as exact_dup_frac
             from (
               select source, lang,
@@ -2113,7 +2120,8 @@ def oracle_sql() -> dict[str, str]:
             den as (
               select query_id, doc_id,
                      row_number() over (partition by query_id
-                                        order by cos desc, doc_id asc) as rank
+                                        order by cast(cos as decimal(20,10)) desc,
+                                                 doc_id asc) as rank
               from dscored qualify rank <= 10),
             unioned as (
               select query_id, doc_id, rank from lex
@@ -2121,7 +2129,8 @@ def oracle_sql() -> dict[str, str]:
               select query_id, doc_id, rank from den),
             fused as (
               select query_id, doc_id,
-                     sum(1000000000 // (60 + rank)) as rrf_score
+                     cast(sum(1000000000 // (60 + rank)) as bigint)
+                       as rrf_score
               from unioned group by 1, 2),
             franked as (
               select query_id, doc_id, rrf_score,
@@ -2183,7 +2192,8 @@ def oracle_sql() -> dict[str, str]:
             ranked as (
               select query_id, vec_id, cos,
                      row_number() over (partition by query_id
-                                        order by cos desc, vec_id asc) as rank
+                                        order by cast(cos as decimal(20,10)) desc,
+                                                 vec_id asc) as rank
               from scored)
             select query_id, vec_id, round(cos, 4) as cos, rank
             from ranked where rank <= 5

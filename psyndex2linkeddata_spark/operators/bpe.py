@@ -42,6 +42,7 @@ from psyndex2linkeddata_spark.operators.retrieval import tokenize_terms
 
 __all__ = [
     "bpe_word_counts",
+    "bounded_word_counts",
     "train_bpe",
     "bpe_encode",
     "bpe_token_counts",
@@ -70,27 +71,59 @@ def _pairs_of(syms: tuple[str, ...]):
     return zip(syms, syms[1:])
 
 
+def bounded_word_counts(
+    word_counts: DataFrame,
+    min_count: int = 1,
+    max_vocab: int | None = 1_000_000,
+) -> DataFrame:
+    """Bound the (word, cnt) table BEFORE it is collected to the driver.
+
+    A 100 TB web corpus has billions of distinct alphanumeric "words"
+    (typos, numbers, other scripts) — an unbounded collect OOMs the
+    driver even though the merge loop itself only needs the frequent
+    head. Standard subword-nmt practice: drop words below `min_count`
+    and cap to the `max_vocab` most frequent (ties broken on the word
+    for determinism) — this changes learned merges only in the hapax
+    tail. The cap compiles to TakeOrderedAndProject (per-partition
+    top-V, no full sort), so driver memory is bounded by
+    max_vocab · avg_word_len bytes regardless of corpus size."""
+    wc = word_counts
+    if min_count > 1:
+        wc = wc.where(F.col("cnt") >= F.lit(int(min_count)))
+    if max_vocab is not None:
+        wc = wc.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(
+            int(max_vocab)
+        )
+    return wc
+
+
 def train_bpe(
     word_counts: DataFrame | list[tuple[str, int]],
     n_merges: int = 1000,
     min_pair_count: int = 2,
+    min_count: int = 1,
+    max_vocab: int | None = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merges from a (word, cnt) table. Returns the
     ordered merge list [(left, right), ...] — rank = list position.
 
-    Accepts the DataFrame from bpe_word_counts (collected HERE — the
-    aggregated word table, bounded by vocabulary size, not corpus size)
-    or a plain list for tests. Stops early when the best remaining pair
-    occurs < min_pair_count times (merging hapax pairs just memorizes
-    the corpus). Ties on count break on the lexicographically smallest
-    (left, right) so the result is deterministic and engine-independent.
+    Accepts the DataFrame from bpe_word_counts — bounded via
+    `bounded_word_counts(min_count, max_vocab)` and only then collected,
+    so driver memory is max_vocab · avg_word_len regardless of corpus
+    size (an unbounded distinct-word collect OOMs at web scale) — or a
+    plain list for tests (used as-is). Stops early when the best
+    remaining pair occurs < min_pair_count times (merging hapax pairs
+    just memorizes the corpus). Ties on count break on the
+    lexicographically smallest (left, right) so the result is
+    deterministic and engine-independent.
 
     Incremental pair maintenance: a merge only changes pair counts for
     words CONTAINING the merged pair, so each round touches the
     index entry of that one pair — O(occurrences) per round, the
     standard subword-nmt optimization, not a full recount."""
     if isinstance(word_counts, DataFrame):
-        rows = [(r["word"], r["cnt"]) for r in word_counts.collect()]
+        bounded = bounded_word_counts(word_counts, min_count, max_vocab)
+        rows = [(r["word"], r["cnt"]) for r in bounded.collect()]
     else:
         rows = list(word_counts)
 

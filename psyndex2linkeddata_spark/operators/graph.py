@@ -198,7 +198,10 @@ def hits(
         )
 
     hub = nodes.withColumn("hub_scaled", F.lit(scale // n).cast("bigint"))
-    auth = None
+    # initialize auth like hub so hits(n_iter=0) returns the uniform
+    # starting vectors instead of crashing on a None join — matching
+    # pagerank's graceful handling of the degenerate case
+    auth = nodes.withColumn("auth_scaled", F.lit(scale // n).cast("bigint"))
     for _ in range(n_iter):
         auth = (
             nodes.join(

@@ -59,7 +59,11 @@ def cosine_topk(
         cosine(F.col(vec_col), F.col("_qvec")).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos").desc(), F.col(id_col).asc()
+        # rank on the DECIMAL(20,10)-quantized cosine: raw-double rank
+        # keys let last-ulp cross-engine divergence flip near-tie ranks
+        # (caught by the driver hash gate on the fused RRF consumer);
+        # at a 1e-10 grain both engines see identical keys
+        F.col("cos").cast("decimal(20,10)").desc(), F.col(id_col).asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -133,7 +137,11 @@ def lsh_cosine_topk(
         cosine(F.col(vec_col), F.col("_qvec")).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos").desc(), F.col(id_col).asc()
+        # rank on the DECIMAL(20,10)-quantized cosine: raw-double rank
+        # keys let last-ulp cross-engine divergence flip near-tie ranks
+        # (caught by the driver hash gate on the fused RRF consumer);
+        # at a 1e-10 grain both engines see identical keys
+        F.col("cos").cast("decimal(20,10)").desc(), F.col(id_col).asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -342,7 +350,11 @@ def ivf_topk(
         ).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos").desc(), F.col(id_col).asc()
+        # rank on the DECIMAL(20,10)-quantized cosine: raw-double rank
+        # keys let last-ulp cross-engine divergence flip near-tie ranks
+        # (caught by the driver hash gate on the fused RRF consumer);
+        # at a 1e-10 grain both engines see identical keys
+        F.col("cos").cast("decimal(20,10)").desc(), F.col(id_col).asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -391,6 +403,10 @@ def semantic_dedup(
         connected_components_star,
     )
 
+    if scorer not in ("native", "arrow"):
+        raise ValueError(
+            f"scorer must be 'native' or 'arrow', got {scorer!r}"
+        )
     if centroids is None:
         centroids = ivf_centroids(
             corpus, n_cells, refine_iters=refine_iters, id_col=id_col, vec_col=vec_col
@@ -502,4 +518,10 @@ def semantic_pairs_arrow(
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"id_a": lo, "id_b": hi})
 
-    return withc.groupBy("cell").applyInPandas(_pairs, "id_a long, id_b long")
+    # pair schema follows the caller's id column type (the native scorer
+    # is type-agnostic; hardcoding bigint here silently miscast other
+    # id types)
+    id_t = withc.schema[id_col].dataType.simpleString()
+    return withc.groupBy("cell").applyInPandas(
+        _pairs, f"id_a {id_t}, id_b {id_t}"
+    )

@@ -36,9 +36,17 @@ def corpus_stats(
 ) -> DataFrame:
     """(source, lang, lvl, n_docs, n_tokens, avg_doc_tokens,
     n_distinct_texts, exact_dup_frac) at leaf / per-source / grand-total
-    levels. avg_doc_tokens and exact_dup_frac are single double
-    divisions over exact longs (cross-engine deterministic), rounded
-    to 4."""
+    levels.
+
+    Determinism: the two ratios are emitted at an exact 1e-4 grain —
+    integer `(x * 10000) div n_docs` (both operands exact longs, same
+    truncating integer division in any engine) followed by ONE IEEE
+    division of that bigint by 10000.0, which is a single correctly-
+    rounded operation and therefore bit-identical across engines. The
+    earlier round(double-division, 4) form was not (the driver's DuckDB
+    hash gate caught last-ulp divergence); this is the same exact-replay
+    pattern the BM25/LM/NB/RRF operators use with DECIMAL/bigint
+    arithmetic."""
     ntok = F.size(
         F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     )
@@ -54,17 +62,18 @@ def corpus_stats(
             (F.grouping("source") * 2 + F.grouping("lang")).alias("lvl"),
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_ntok").alias("n_tokens"),
-            F.round(
-                F.sum("_ntok").cast("double") / F.count(F.lit(1)), 4
-            ).alias("avg_doc_tokens"),
             F.count_distinct(F.col("_th")).alias("n_distinct_texts"),
-            F.round(
-                (F.count(F.lit(1)) - F.count_distinct(F.col("_th"))).cast(
-                    "double"
-                )
-                / F.count(F.lit(1)),
-                4,
-            ).alias("exact_dup_frac"),
+        )
+        .withColumn(
+            "avg_doc_tokens",
+            F.expr("cast((n_tokens * 10000) div n_docs as bigint) / cast(10000 as double)"),
+        )
+        .withColumn(
+            "exact_dup_frac",
+            F.expr(
+                "cast(((n_docs - n_distinct_texts) * 10000) div n_docs"
+                " as bigint) / cast(10000 as double)"
+            ),
         )
         .select(
             "source",

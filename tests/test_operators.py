@@ -1515,6 +1515,35 @@ def test_bpe_determinism_and_early_stop(spark):
     assert len(train_bpe([("xyz", 1)], n_merges=10, min_pair_count=1)) > 0
 
 
+def test_bpe_bounded_word_counts(spark):
+    """The driver collect is bounded: a heavy-tail vocabulary is cut to
+    min_count then capped to the top-V rows (cnt desc, word asc), and
+    train_bpe over the bounded table equals train_bpe over the
+    equivalent bounded list — the hapax tail never reaches the driver."""
+    from psyndex2linkeddata_spark.operators.bpe import (
+        bounded_word_counts,
+        train_bpe,
+    )
+
+    # 5 frequent head words + a 500-word hapax tail
+    head = [("alpha", 50), ("beta", 40), ("gamma", 30), ("delta", 20), ("epsil", 10)]
+    tail = [(f"hapax{i:04d}", 1) for i in range(500)]
+    wc = spark.createDataFrame(head + tail, "word string, cnt long")
+
+    cut = bounded_word_counts(wc, min_count=2, max_vocab=3)
+    got = [(r["word"], r["cnt"]) for r in cut.collect()]
+    assert len(got) <= 3
+    assert got == [("alpha", 50), ("beta", 40), ("gamma", 30)]
+
+    # the cap alone (no min_count) also bounds the collect
+    assert bounded_word_counts(wc, max_vocab=10).count() == 10
+
+    # train_bpe(DataFrame, bounds) == train_bpe(bounded list)
+    m_df = train_bpe(wc, n_merges=5, min_count=2, max_vocab=3)
+    m_list = train_bpe(head[:3], n_merges=5)
+    assert m_df == m_list
+
+
 def test_pagerank_vs_pure_python_fixed_point(spark):
     """pagerank vs an independent integer fixed-point replay on a graph
     with a hub, a dangling node, and a 2-cycle; exact equality (that is
