@@ -90,6 +90,9 @@ def bgp_match(
     optional: list[list[tuple[str, str, str]]] | None = None,
     values: dict[str, list[str]] | None = None,
     filter: str | None = None,
+    anti: list[list[tuple[str, str, str]]] | None = None,
+    semi: list[list[tuple[str, str, str]]] | None = None,
+    capture_meta: bool = False,
 ) -> DataFrame:
     """Match a conjunction of triple patterns; returns one column per
     variable (name without the ``?``), optionally projected to `select`
@@ -108,8 +111,28 @@ def bgp_match(
 
     `filter` is SPARQL FILTER as a Spark SQL boolean expression over
     the variable columns (e.g. ``"lang = 'de' or nc > 100"``), applied
-    after the required patterns and VALUES, before OPTIONAL groups —
-    matching SPARQL's group-level filter placement."""
+    AFTER the OPTIONAL left joins — SPARQL group-level filters evaluate
+    over the whole group, so a filter may reference OPTIONAL-bound
+    variables (which are null for non-matching solutions, e.g. the
+    ``!bound`` idiom spelled as ``x IS NULL``); Catalyst pushes filters
+    that touch only required-side columns below the left joins anyway,
+    so the placement costs nothing.
+
+    `anti` / `semi` are FILTER NOT EXISTS / FILTER EXISTS pattern
+    groups: each compiles to a left_anti / left_semi join on the
+    variables the group shares with the solution so far (the standard
+    SPARQL-to-SQL translation; an uncorrelated group is rejected).
+    Like `filter`, they apply after the OPTIONAL joins (group-level
+    placement) — an anti/semi join never multiplies rows, so solution
+    multiplicity is preserved exactly as SPARQL requires.
+
+    `capture_meta` additionally emits, for every variable at its FIRST
+    binding site, three metadata columns ``<var>__is_iri``,
+    ``<var>__lang``, ``<var>__dtype`` — taken from the triple row when
+    the variable binds in object position, constants (True, null, null)
+    for subject/predicate positions and property-path endpoints (always
+    resources). CONSTRUCT needs these to re-emit well-formed triples;
+    plain SELECT callers leave it off and pay nothing."""
     if not patterns:
         raise ValueError("empty basic graph pattern")
 
@@ -124,9 +147,11 @@ def bgp_match(
             # transitive closure of that predicate
             df = path_closure(triples, p_term[:-1])
             positions = [("subj", s_term), ("obj", o_term)]
+            is_closure = True
         else:
             df = triples
             positions = list(zip(_POS, pat))
+            is_closure = False
         seen: dict[str, str] = {}  # var -> first position column
         cols = []
         for pos, term in positions:
@@ -139,6 +164,15 @@ def bgp_match(
                 else:
                     seen[name] = pos
                     cols.append(F.col(pos).alias(name))
+                    if capture_meta and name not in bound:
+                        if pos == "obj" and not is_closure:
+                            cols.append(F.col("obj_is_iri").alias(f"{name}__is_iri"))
+                            cols.append(F.col("lang").alias(f"{name}__lang"))
+                            cols.append(F.col("dtype").alias(f"{name}__dtype"))
+                        else:  # subj/pred/path endpoints are resources
+                            cols.append(F.lit(True).alias(f"{name}__is_iri"))
+                            cols.append(F.lit(None).cast("string").alias(f"{name}__lang"))
+                            cols.append(F.lit(None).cast("string").alias(f"{name}__dtype"))
             else:
                 df = df.where(F.col(pos) == F.lit(term))
         # an all-constant pattern is an existence check: one marker row
@@ -160,18 +194,42 @@ def bgp_match(
         if var not in bound:
             raise ValueError(f"VALUES variable not bound by the patterns: ?{var}")
         result = result.where(F.col(var).isin(list(allowed)))
-    if filter is not None:
-        result = result.where(F.expr(filter))
+
+    _meta_suf = ("__is_iri", "__lang", "__dtype")
+
+    def _is_meta(c: str) -> bool:
+        return capture_meta and c.endswith(_meta_suf)
 
     for group in optional or []:
-        odf = bgp_match(triples, group)
-        on = [v for v in odf.columns if v in bound]
+        odf = bgp_match(triples, group, capture_meta=capture_meta)
+        on = [v for v in odf.columns if v in bound and not _is_meta(v)]
         if not on:
             raise ValueError(
                 f"OPTIONAL group shares no variable with the required patterns: {group!r}"
             )
+        if capture_meta:  # shared vars already carry first-binding meta
+            dup = [
+                f"{v}__{suf}"
+                for v in on
+                for suf in ("is_iri", "lang", "dtype")
+                if f"{v}__{suf}" in odf.columns
+            ]
+            odf = odf.drop(*dup)
         result = result.join(odf, on=on, how="left")
-        bound += [v for v in odf.columns if v not in bound]
+        bound += [v for v in odf.columns if v not in bound and not _is_meta(v)]
+
+    if filter is not None:
+        result = result.where(F.expr(filter))
+
+    for how, groups in (("left_anti", anti), ("left_semi", semi)):
+        for group in groups or []:
+            gdf = bgp_match(triples, group)
+            on = [v for v in gdf.columns if v in bound]
+            if not on:
+                raise ValueError(
+                    f"(NOT) EXISTS group shares no variable with the query: {group!r}"
+                )
+            result = result.join(gdf.select(*on), on=on, how=how)
 
     markers = [c for c in result.columns if c.startswith("_m")]
     if markers:
@@ -184,146 +242,16 @@ def bgp_match(
     return result.distinct() if distinct else result
 
 
-# ---------------------------------------------------------------------------
-# restricted SPARQL SELECT front-end
-# ---------------------------------------------------------------------------
-
-import re as _re
-
-_TOKEN = _re.compile(
-    r"""\s*(?:
-        (?P<var>\?[A-Za-z_]\w*)
-      | (?P<iri><[^<>\s]*>\+?)
-      | (?P<lit>"(?:[^"\\]|\\.)*"\+?)
-      | (?P<punct>[{}().])
-      | (?P<word>[^\s{}().]+)
-    )""",
-    _re.X,
-)
-
-
-def _tokens(q: str) -> list[str]:
-    out, i, q = [], 0, q.strip()
-    while i < len(q):
-        m = _TOKEN.match(q, i)
-        if not m or m.end() == i:
-            raise ValueError(f"SPARQL lex error at: {q[i:i+30]!r}")
-        out.append(m.group().strip())
-        i = m.end()
-    return out
-
-
-def _term(tok: str) -> str:
-    """Token → bgp_match term: ?var stays; <iri> strips brackets;
-    "lit" unquotes; bare words pass through. A trailing + (property
-    path) survives the stripping."""
-    plus = ""
-    if tok.endswith("+") and not tok.startswith("?"):
-        tok, plus = tok[:-1], "+"
-    if tok.startswith("<") and tok.endswith(">"):
-        return tok[1:-1] + plus
-    if tok.startswith('"') and tok.endswith('"'):
-        return (
-            tok[1:-1]
-            .replace('\\"', '"')
-            .replace("\\\\", "\\")
-            + plus
-        )
-    return tok + plus
-
-
-def _parse_group(toks: list[str], i: int):
-    """Parse a { ... } group body starting AFTER the opening brace.
-    Returns (patterns, optionals, values, filters, next_index)."""
-    pats, opts, vals, filts = [], [], {}, []
-    while i < len(toks):
-        t = toks[i]
-        up = t.upper()
-        if t == "}":
-            return pats, opts, vals, filts, i + 1
-        if up == "OPTIONAL":
-            if toks[i + 1] != "{":
-                raise ValueError("OPTIONAL must be followed by {")
-            g_pats, g_opts, g_vals, g_filts, i = _parse_group(toks, i + 2)
-            if g_opts or g_vals or g_filts:
-                raise ValueError("nested OPTIONAL/VALUES/FILTER not supported")
-            opts.append(g_pats)
-            continue
-        if up == "VALUES":
-            var = toks[i + 1]
-            if not var.startswith("?") or toks[i + 2] != "{":
-                raise ValueError("VALUES syntax: VALUES ?var { term ... }")
-            i += 3
-            allowed = []
-            while toks[i] != "}":
-                allowed.append(_term(toks[i]))
-                i += 1
-            vals[var[1:]] = allowed
-            i += 1
-            continue
-        if up == "FILTER":
-            if toks[i + 1] != "(":
-                raise ValueError("FILTER must be followed by (")
-            depth, j, parts = 1, i + 2, []
-            while depth:
-                tok = toks[j]
-                depth += tok == "(";  depth -= tok == ")"
-                if depth:
-                    parts.append(tok[1:] if tok.startswith("?") else tok)
-                j += 1
-            filts.append(" ".join(parts))
-            i = j
-            continue
-        # a triple pattern: three terms, optional trailing dot
-        s, p, o = toks[i : i + 3]
-        pats.append((_term(s) if not s.startswith("?") else s,
-                     _term(p) if not p.startswith("?") else p,
-                     _term(o) if not o.startswith("?") else o))
-        i += 3
-        if i < len(toks) and toks[i] == ".":
-            i += 1
-    raise ValueError("unterminated group: missing }")
-
 
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
-    """Restricted SPARQL SELECT front-end over bgp_match:
-
-        SELECT [DISTINCT] ?a ?b | *
-        WHERE { tp . tp . OPTIONAL { tp } FILTER(?y >= 2021)
-                VALUES ?l { "de" "en" } }
-
-    Triple-pattern terms: ?var, <iri> (angle brackets stripped),
-    "literal", bare word; a trailing + on a constant predicate is the
-    transitive property path. FILTER bodies are Spark SQL over the
-    variable columns (?var → column). Not supported (use bgp_match /
-    DataFrame ops directly): UNION, GROUP BY, ORDER BY, subqueries,
-    nested OPTIONAL."""
-    toks = _tokens(query)
-    if not toks or toks[0].upper() != "SELECT":
-        raise ValueError("query must start with SELECT")
-    i = 1
-    distinct = i < len(toks) and toks[i].upper() == "DISTINCT"
-    i += distinct
-    sel: list[str] | None = []
-    if toks[i] == "*":
-        sel, i = None, i + 1
-    else:
-        while toks[i].startswith("?"):
-            sel.append(toks[i][1:])
-            i += 1
-        if not sel:
-            raise ValueError("SELECT needs variables or *")
-    if toks[i].upper() != "WHERE" or toks[i + 1] != "{":
-        raise ValueError("expected WHERE {")
-    pats, opts, vals, filts, i = _parse_group(toks, i + 2)
-    if i != len(toks):
-        raise ValueError(f"trailing tokens after }}: {toks[i:]}")
-    return bgp_match(
-        triples,
-        pats,
-        select=sel,
-        distinct=distinct,
-        optional=opts or None,
-        values=vals or None,
-        filter=" and ".join(f"({f})" for f in filts) if filts else None,
+    """SPARQL SELECT text → DataFrame. Delegates to plans.sparql, which
+    speaks the reference's own query dialect (PREFIX/qnames, ``a``,
+    ``;``/``,`` lists, sequence property paths, FILTER (NOT) EXISTS,
+    aggregates — see that module's docstring); the restricted grammar
+    this function originally accepted is a subset, so existing callers
+    are unchanged."""
+    from psyndex2linkeddata_spark.plans.sparql import (
+        sparql_select as _impl,
     )
+
+    return _impl(triples, query)
