@@ -47,6 +47,11 @@ def main(argv=None) -> None:
                          "catalog table (writeTo V2 surface — Iceberg on a "
                          "configured cluster catalog, parquet session "
                          "catalog here); subj-hash bucketed")
+    ap.add_argument("--report", action="store_true",
+                    help="write the run's data-card (corpus_stats rollup "
+                         "over the input pages, quality-decile histogram, "
+                         "lineage throughput totals) under "
+                         "<ckpt>/report/run_id=<id>/")
     ap.add_argument("--master", default=None,
                     help="override master for local runs (spark-submit sets it otherwise)")
     args = ap.parse_args(argv)
@@ -79,6 +84,12 @@ def main(argv=None) -> None:
     )
     run_manifest(spark, args.ckpt, res["run_id"], pages=args.pages, out=args.out)
     triples = spark.read.parquet(os.path.join(args.out, "triples")).drop("batch")
+
+    if args.report:
+        from psyndex2linkeddata_spark.plans.report import write_run_report
+
+        summary = write_run_report(spark, pages, args.ckpt, res["run_id"])
+        print(f"report: {summary}")
 
     if args.canonicalize:
         from pyspark.sql import functions as F

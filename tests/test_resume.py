@@ -352,3 +352,71 @@ def test_stream_neardup_filter(spark, tmp_path_factory):
     stream_neardup_filter(spark, docs_dir, out_dir, ckpt, num_hashes=8, bands=4)
     acc = spark.read.parquet(os.path.join(out_dir, "accepted"))
     assert {r.doc_id for r in acc.collect()} == {1, 2, 4, 7}
+
+
+def test_run_report_data_card(spark, small_pages, tmp_path_factory):
+    """--report artifact: corpus_stats rollup + quality deciles + lineage
+    throughput land under <ckpt>/report/run_id=<id>/ and reconcile with
+    the run's own lineage and with corpus_stats run directly."""
+    from psyndex2linkeddata_spark.operators.stats import corpus_stats
+    from psyndex2linkeddata_spark.operators.hosts import host_of
+    from psyndex2linkeddata_spark.functions.lang import guess_language
+    from psyndex2linkeddata_spark.plans.report import (
+        read_run_report,
+        write_run_report,
+    )
+
+    base = str(tmp_path_factory.mktemp("ckpt_report"))
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    res = run_checkpointed(
+        spark, small_pages, out, ckpt, build_triples,
+        n_buckets=N_BUCKETS, buckets_per_commit=2,
+    )
+    summary = write_run_report(spark, small_pages, ckpt, res["run_id"])
+    assert summary["run_id"] == res["run_id"]
+    assert summary["n_buckets"] == N_BUCKETS
+    assert summary["n_pages"] == N_PAGES
+    assert summary["n_triples"] > 0 and summary["triples_per_s"] > 0
+
+    rep = read_run_report(spark, ckpt, res["run_id"])
+
+    # corpus table == corpus_stats run directly on the same derivation
+    docs = small_pages.select(
+        F.col("url").alias("doc_id"),
+        host_of(F.col("url")).alias("source"),
+        guess_language(F.col("text")).alias("lang"),
+        F.col("text"),
+    )
+    expect = {tuple(r) for r in corpus_stats(docs).collect()}
+    got = {tuple(r) for r in rep["corpus"].collect()}
+    assert got == expect
+    # grand-total row (lvl=3) counts every page
+    total = [r for r in rep["corpus"].collect() if r["lvl"] == 3]
+    assert len(total) == 1 and total[0]["n_docs"] == N_PAGES
+
+    # quality deciles partition all pages
+    qrows = rep["quality"].collect()
+    assert sum(r["n_docs"] for r in qrows) == N_PAGES
+    assert all(0 <= r["decile"] <= 9 for r in qrows)
+
+    # throughput mirrors the lineage the run committed
+    lineage = spark.read.parquet(os.path.join(ckpt, "lineage"))
+    n_trip = sum(r.n_triples for r in lineage.collect())
+    thr = rep["throughput"].collect()[0]
+    assert thr["n_triples"] == n_trip == summary["n_triples"]
+
+    # the convert job's --report flag drives the same path end-to-end
+    from psyndex2linkeddata_spark.jobs import convert as convert_job
+
+    base2 = str(tmp_path_factory.mktemp("ckpt_report_job"))
+    pages_path = os.path.join(base2, "pages.parquet")
+    small_pages.write.parquet(pages_path)
+    convert_job.main([
+        "--pages", pages_path,
+        "--out", os.path.join(base2, "out"),
+        "--ckpt", os.path.join(base2, "ckpt"),
+        "--buckets", "2", "--per-commit", "2",
+        "--report",
+    ])
+    reports = os.listdir(os.path.join(base2, "ckpt", "report"))
+    assert len(reports) == 1 and reports[0].startswith("run_id=")
