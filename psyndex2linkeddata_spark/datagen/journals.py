@@ -58,12 +58,16 @@ _TITLES_EN = [
     "The Open Psychology Bulletin",
     "Developmental Science Quarterly",
     "Clinical Assessment Methods",
+    # "splittable" shapes (testing/sparql/splittable_titles.rq flags
+    # titles containing "/", " - ", "(", or ". " as split candidates)
+    "Methods in Measurement - Reports and Reviews (MMRR)",
 ]
 _TITLES_DE = [
     "Zeitschrift für die Psychologie und ihre Anwendungen",
     "Praxis der Klinischen Psychologie",
     "Bericht über die Entwicklung der Diagnostik",
     "Zeitschrift für Arbeits- und Organisationspsychologie",
+    "Diagnostik heute. Verfahren und Praxis",
 ]
 _SUBTITLES = [
     "An International Review",
@@ -136,9 +140,8 @@ def journal_records(n: int = 40, seed: int = 7) -> list[dict]:
             rec["JTC"] = f"{1000 + i:04d}"
 
         if i % 13 != 7:  # some records have no title at all
-            base = (_TITLES_DE if i % 3 == 0 else _TITLES_EN)[
-                i % (4 if i % 3 == 0 else 5)
-            ]
+            pool = _TITLES_DE if i % 3 == 0 else _TITLES_EN
+            base = pool[i % len(pool)]
             if i % 9 == 2:  # broken hex codes the converter repairs
                 base = base.replace("für", "f#e22r") if "für" in base else base + " #e25"
             rec["JTTI"] = base

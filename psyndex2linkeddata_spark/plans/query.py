@@ -223,13 +223,40 @@ def bgp_match(
 
     for how, groups in (("left_anti", anti), ("left_semi", semi)):
         for group in groups or []:
-            gdf = bgp_match(triples, group)
+            # a group is a pattern list, or a dict {patterns, filter} when
+            # the (NOT) EXISTS body carries its own FILTER — possibly
+            # CORRELATED (referencing outer variables), the idiom SPARQL
+            # uses for "another node with the same value"
+            # (e.g. FILTER(?hub != ?hub2) inside FILTER EXISTS)
+            if isinstance(group, dict):
+                gpats, gfilt = group["patterns"], group.get("filter")
+            else:
+                gpats, gfilt = group, None
+            gdf = bgp_match(triples, gpats)
             on = [v for v in gdf.columns if v in bound]
             if not on:
                 raise ValueError(
                     f"(NOT) EXISTS group shares no variable with the query: {group!r}"
                 )
-            result = result.join(gdf.select(*on), on=on, how=how)
+            if gfilt is None:
+                result = result.join(gdf.select(*on), on=on, how=how)
+            else:
+                import re as _re
+
+                inner_only = set(gdf.columns) - set(bound)
+
+                def _qual(m, _inner=inner_only):
+                    name = m.group(1)
+                    side = "_R" if name in _inner else "_L"
+                    return f"{side}.`{name}`"
+
+                cond_sql = " and ".join(
+                    [f"_L.`{v}` = _R.`{v}`" for v in on]
+                    + ["(" + _re.sub(r"`(\w+)`", _qual, gfilt) + ")"]
+                )
+                result = result.alias("_L").join(
+                    gdf.alias("_R"), F.expr(cond_sql), how
+                )
 
     markers = [c for c in result.columns if c.startswith("_m")]
     if markers:

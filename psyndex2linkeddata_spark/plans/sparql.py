@@ -462,6 +462,17 @@ class _Parser:
                     self.next()
                     inner = self.expr_tokens(depth=1)
                     parts.append(f"({inner} is not null)")
+                elif u == "LANG" and self.peek() == ("punct", "("):
+                    # SPARQL lang(?x): the literal's language tag, "" when
+                    # absent — reads the __lang metadata column bgp_match
+                    # emits under capture_meta (enabled when any filter
+                    # uses lang())
+                    self.next()
+                    k2, v2 = self.next()
+                    if k2 != "var":
+                        raise ValueError("lang() takes a variable")
+                    self.expect("punct", ")")
+                    parts.append(f"coalesce(`{v2[1:]}__lang`, '')")
                 elif ":" in v:
                     parts.append(_sql_str(self.expand(v)))
                 elif u in ("TRUE", "FALSE"):
@@ -578,16 +589,19 @@ def _compile_group(g: _Group, counter: list[int]) -> dict:
         if og.optionals or og.anti or og.semi or og.filters or og.values:
             raise ValueError("nested OPTIONAL/FILTER groups not supported")
         optional.append(_flatten(og.patterns, counter))
-    anti = []
-    for ag in g.anti:
-        if ag.optionals or ag.anti or ag.semi or ag.filters or ag.values:
+    def _exists_group(gg: _Group):
+        if gg.optionals or gg.anti or gg.semi or gg.values:
             raise ValueError("nested groups inside (NOT) EXISTS not supported")
-        anti.append(_flatten(ag.patterns, counter))
-    semi = []
-    for sg in g.semi:
-        if sg.optionals or sg.anti or sg.semi or sg.filters or sg.values:
-            raise ValueError("nested groups inside (NOT) EXISTS not supported")
-        semi.append(_flatten(sg.patterns, counter))
+        pats = _flatten(gg.patterns, counter)
+        if gg.filters:  # correlated/inner FILTER inside the group
+            return {
+                "patterns": pats,
+                "filter": " and ".join(f"({f})" for f in gg.filters),
+            }
+        return pats
+
+    anti = [_exists_group(ag) for ag in g.anti]
+    semi = [_exists_group(sg) for sg in g.semi]
     return {
         "patterns": pats,
         "optional": optional or None,
@@ -615,6 +629,8 @@ def _solutions(
         # get_full_work.rq's DESCRIBE idiom: empty WHERE, template doubles
         # as the pattern
         kw["patterns"] = _flatten(q.template, counter)
+    if kw["filter"] and "__lang" in kw["filter"]:
+        capture_meta = True  # lang(?x) reads the metadata columns
     sol = bgp_match(triples, select=None, distinct=False,
                     capture_meta=capture_meta, **kw)
     vars_ = [
@@ -638,6 +654,11 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         keys = q.group_by or plain
         if set(plain) - set(keys):
             raise ValueError("non-aggregate SELECT vars must be in GROUP BY")
+        # SPARQL evaluates GROUP BY before SELECT, so a group key naming
+        # an aggregate alias (unique_publishers_name_only.rq's
+        # `GROUP BY ?count ?publisher_name`) is an UNBOUND variable — a
+        # constant key that changes no groups. Drop such keys.
+        keys = [k for k in keys if k in sol.columns]
         exprs = []
         for _, fn, is_distinct, arg, alias in aggs:
             if arg is None:
@@ -650,15 +671,23 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         out = sol.groupBy(*keys).agg(*exprs) if keys else sol.agg(*exprs)
         cols = keys + [a[4] for a in aggs]
         out = out.select(*cols)
+        if q.distinct:  # post-aggregation DISTINCT (SELECT distinct … COUNT)
+            out = out.distinct()
     else:
         if "*" in q.select:
             cols = all_vars
+            out = sol.select(*cols)
         else:
             cols = [s[1] for s in q.select]
-            missing = [c for c in cols if c not in sol.columns]
-            if missing:
-                raise ValueError(f"unbound select variables: {missing}")
-        out = sol.select(*cols)
+            # SPARQL projects never-bound variables as unbound (null)
+            # columns — versions_without_issn.rq SELECTs a ?issn whose
+            # binding pattern is commented out, and arq returns it empty
+            out = sol.select(
+                *[
+                    F.col(c) if c in sol.columns else F.lit(None).cast("string").alias(c)
+                    for c in cols
+                ]
+            )
         if q.distinct:
             out = out.distinct()
     if q.order_by:
@@ -762,8 +791,14 @@ def solutions_tsv(triples: DataFrame, query: str) -> list[str]:
     cols = [s[1] for s in q.select]
     proj: list = []
     for c in cols:
-        if c not in sol.columns:
-            raise ValueError(f"unbound select variables: [{c!r}]")
+        if c not in sol.columns:  # never-bound projection → empty cells
+            proj += [
+                F.lit(None).cast("string"),
+                F.lit(False),
+                F.lit(None).cast("string"),
+                F.lit(None).cast("string"),
+            ]
+            continue
         proj.append(F.col(c))
         if f"{c}__is_iri" in sol.columns:
             proj += [F.col(f"{c}__is_iri"), F.col(f"{c}__lang"), F.col(f"{c}__dtype")]

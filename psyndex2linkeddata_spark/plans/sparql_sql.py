@@ -103,6 +103,9 @@ class _SqlGen:
                         wheres.append(f"{col} = {outer_binds[v]}")
                     else:
                         binds[v] = col
+                        if pos == "obj" and not closure:
+                            # lang(?v) in FILTERs reads the literal's tag
+                            binds[f"{v}__lang"] = f"{t}.lang"
                 else:
                     lit = term.replace("'", "''")
                     wheres.append(f"{col} = '{lit}'")
@@ -157,22 +160,41 @@ def to_sql(query: str | ParsedQuery, table: str = "triples") -> str:
     for kind, groups in (("not exists", g.anti), ("exists", g.semi)):
         for gi, gg in enumerate(groups):
             gpats = _flatten(gg.patterns, counter)
-            gfrom, gwhere, _ = gen.bgp_sql(gpats, f"x{kind[0]}{gi}_", outer_binds=binds)
+            gfrom, gwhere, gbinds = gen.bgp_sql(
+                gpats, f"x{kind[0]}{gi}_", outer_binds=binds
+            )
+            if gg.filters:
+                # inner FILTER, possibly correlated: inner-bound vars
+                # resolve to the subquery's columns, outer vars to the
+                # enclosing query's (standard correlated EXISTS)
+                inner_f = " and ".join(
+                    "("
+                    + _substitute_vars(_portable_filter(f), {**binds, **gbinds})
+                    + ")"
+                    for f in gg.filters
+                )
+                gwhere = f"{gwhere} and {inner_f}"
             conds.append(f"{kind} (select 1 from {gfrom} where {gwhere})")
 
     where_sql = " and ".join(conds) or "true"
 
     # projection
+    proj_aliases: set[str] = set()
     if q.form == "CONSTRUCT":
-        proj_vars = sorted(v for v in binds if not v.startswith(("_path", "_seq")))
+        proj_vars = sorted(
+            v for v in binds if not v.startswith(("_path", "_seq")) and "__" not in v
+        )
         sel_sql = ", ".join(f"{binds[v]} as {v}" for v in proj_vars)
         head = f"select {sel_sql}"
+        proj_aliases = set(proj_vars)
         tail = ""
     else:
         aggs = [s for s in q.select if s != "*" and s[0] == "agg"]
         if aggs:
             plain = [s[1] for s in q.select if s != "*" and s[0] == "var"]
-            keys = q.group_by or plain
+            # unbound group keys (e.g. an aggregate alias — GROUP BY runs
+            # before SELECT in SPARQL) are constant and change no groups
+            keys = [k for k in (q.group_by or plain) if k in binds]
             parts = [f"{binds[k]} as {k}" for k in keys]
             for _, fn, is_distinct, arg, alias in aggs:
                 if arg is None:
@@ -182,21 +204,35 @@ def to_sql(query: str | ParsedQuery, table: str = "triples") -> str:
                 else:
                     e = f"count({binds[arg]})"
                 parts.append(f"{e} as {alias}")
-            head = "select " + ", ".join(parts)
+            head = (
+                f"select {'distinct ' if q.distinct else ''}" + ", ".join(parts)
+            )
+            proj_aliases = set(keys) | {a[4] for a in aggs}
             tail = (
                 " group by " + ", ".join(binds[k] for k in keys) if keys else ""
             )
         else:
             if "*" in q.select:
-                proj = sorted(v for v in binds if not v.startswith(("_path", "_seq")))
+                proj = sorted(
+                    v
+                    for v in binds
+                    if not v.startswith(("_path", "_seq")) and "__" not in v
+                )
             else:
                 proj = [s[1] for s in q.select]
-            sel_sql = ", ".join(f"{binds[v]} as {v}" for v in proj)
+            # never-bound SELECT vars project as NULL (SPARQL unbound)
+            sel_sql = ", ".join(
+                f"{binds[v]} as {v}" if v in binds else f"cast(NULL as varchar) as {v}"
+                for v in proj
+            )
             head = f"select {'distinct ' if q.distinct else ''}{sel_sql}"
+            proj_aliases = set(proj)
             tail = ""
     if q.order_by:
         tail += " order by " + ", ".join(
-            f"{binds[v]} {'asc' if asc else 'desc'}" for v, asc in q.order_by
+            # aggregate aliases (ORDER BY ?count) exist only in the output
+            f"{v if v in proj_aliases else binds[v]} {'asc' if asc else 'desc'}"
+            for v, asc in q.order_by
         )
     if q.limit is not None:
         tail += f" limit {q.limit}"

@@ -26,22 +26,14 @@ pytestmark = pytest.mark.skipif(
     not os.path.exists(JOURNAL_CONVERT), reason="reference journals converter not present"
 )
 
-N_JOURNALS = 40
+# corpus generation + the expensive engine emit live in conftest.py
+# (journal_corpus / journal_engine_rows) so the SPARQL gate
+# (test_sparql_journals.py) shares them.
 
 
 @pytest.fixture(scope="module")
-def corpus(tmp_path_factory):
-    from psyndex2linkeddata_spark.datagen.journals import (
-        journal_records,
-        write_journal_lookups,
-        write_journals_xml,
-    )
-
-    d = str(tmp_path_factory.mktemp("journals"))
-    recs = journal_records(N_JOURNALS)
-    write_journals_xml(os.path.join(d, "journals.xml"), recs)
-    write_journal_lookups(d, recs)
-    return d, recs
+def corpus(journal_corpus):
+    return journal_corpus
 
 
 def _unesc(c: str) -> str:
@@ -78,25 +70,8 @@ def ref_triples(corpus):
     return out
 
 
-def test_journals_exact_match(spark, corpus, ref_triples):
-    from psyndex2linkeddata_spark.datagen.journals import journals_df
-    from psyndex2linkeddata_spark.emit.journals import journal_triples
-
-    d, recs = corpus
-    j = journals_df(spark, recs)
-    uuid_lk = (
-        spark.read.option("header", True).csv(os.path.join(d, "jtc_uuid_lookup.csv"))
-        .toDF("JTC", "uuid")
-    )
-    review_lk = (
-        spark.read.option("header", True).csv(os.path.join(d, "review_lookup.csv"))
-        .toDF("JTC", "rv")
-    )
-    triples = journal_triples(j, uuid_lk, review_lk)
-    ours = {
-        (r.subj, r.pred, r.obj, r.obj_is_iri, r.lang, r.dtype)
-        for r in triples.collect()
-    }
+def test_journals_exact_match(journal_engine_rows, ref_triples):
+    ours = set(journal_engine_rows)
     inter = ours & ref_triples
     p = len(inter) / max(len(ours), 1)
     r = len(inter) / max(len(ref_triples), 1)
