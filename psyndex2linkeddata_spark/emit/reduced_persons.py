@@ -117,55 +117,55 @@ def reduced_person_triples(df: DataFrame) -> DataFrame:
         .when(F.col("isPsych") == "N", F.lit("false"))
     )
 
-    base = j.select(
-        pack(
-            typ(person, NS.SCHEMA + "Person"),
-            typ(person, NS.BF + "Person"),
-            # preferred name, unconditional (:140-165, :371)
-            typ(prefname, GNDO + "NameOfThePerson"),
-            T(prefname, NS.SCHEMA + "givenName", F.col("Vorname")),
-            T(prefname, NS.SCHEMA + "familyName", F.col("Nachname")),
-            T(person, GNDO + "preferredNameEntityForThePerson", prefname, iri=True),
-            # ORCID, validated (:251-279)
-            typ(orcid_node, NS.LOCID + "orcid"),
-            T(orcid_node, RDF_VALUE, F.col("ORCID")),
-            T(person, NS.BF + "identifiedBy", orcid_node, iri=True),
-            # PsychAuthors ID, validated (:281-305)
-            typ(paid_node, NS.PXC + "PsychAuthorsID"),
-            T(paid_node, RDF_VALUE, F.col("PsychAuthorsID")),
-            T(person, NS.BF + "identifiedBy", paid_node, iri=True),
-            # GND id, never validated (:308-328)
-            typ(gnd_node, NS.LOCID + "gnd"),
-            T(gnd_node, RDF_VALUE, F.col("GND")),
-            T(person, NS.BF + "identifiedBy", gnd_node, iri=True),
-            # uuid as bf:Local (:330-350)
-            typ(uuid_node, NS.BF + "Local"),
-            T(uuid_node, RDF_VALUE, F.col("uuid")),
-            T(person, NS.BF + "identifiedBy", uuid_node, iri=True),
-            # psychologist flag (:225-248)
-            T(person, NS.PXP + "isPsychologist", psych, dtype=XSD_BOOL),
-        ).alias("_arr")
-    )
-
-    # variant names, numbered in the seed-pinned set order (:366-418)
-    va = j.select(
-        person.alias("_p"),
-        F.posexplode(F.col("_variants")).alias("_pos", "_raw"),
-    )
-    parts = F.split(F.col("_raw"), ", ")
-    family = F.trim(F.get(parts, 0))
-    given = F.trim(F.coalesce(F.get(parts, 1), F.lit("")))
-    vnode = F.concat(
-        F.col("_p"), F.lit("#varname_"), (F.col("_pos") + 1).cast("string")
-    )
-    variants = va.select(
-        pack(
+    # variant names, numbered in the seed-pinned set order (:366-418) —
+    # built INSIDE the same projection via transform+flatten so the two
+    # Arrow stages run once (a union branch would re-evaluate both UDFs
+    # per branch) and the whole emit is one narrow pass
+    def one_variant(v, i):
+        parts = F.split(v, ", ")
+        family = F.trim(F.get(parts, 0))
+        given = F.trim(F.coalesce(F.get(parts, 1), F.lit("")))
+        vnode = F.concat(person, F.lit("#varname_"), (i + 1).cast("string"))
+        return pack(
             typ(vnode, GNDO + "NameOfThePerson"),
             T(vnode, NS.SCHEMA + "givenName", given),
             T(vnode, NS.SCHEMA + "familyName", family),
-            T(F.col("_p"), GNDO + "variantNameEntityForThePerson", vnode, iri=True),
+            T(person, GNDO + "variantNameEntityForThePerson", vnode, iri=True),
+        )
+
+    variant_arr = F.flatten(F.transform(F.col("_variants"), one_variant))
+
+    out = j.select(
+        F.concat(
+            pack(
+                typ(person, NS.SCHEMA + "Person"),
+                typ(person, NS.BF + "Person"),
+                # preferred name, unconditional (:140-165, :371)
+                typ(prefname, GNDO + "NameOfThePerson"),
+                T(prefname, NS.SCHEMA + "givenName", F.col("Vorname")),
+                T(prefname, NS.SCHEMA + "familyName", F.col("Nachname")),
+                T(person, GNDO + "preferredNameEntityForThePerson", prefname, iri=True),
+                # ORCID, validated (:251-279)
+                typ(orcid_node, NS.LOCID + "orcid"),
+                T(orcid_node, RDF_VALUE, F.col("ORCID")),
+                T(person, NS.BF + "identifiedBy", orcid_node, iri=True),
+                # PsychAuthors ID, validated (:281-305)
+                typ(paid_node, NS.PXC + "PsychAuthorsID"),
+                T(paid_node, RDF_VALUE, F.col("PsychAuthorsID")),
+                T(person, NS.BF + "identifiedBy", paid_node, iri=True),
+                # GND id, never validated (:308-328)
+                typ(gnd_node, NS.LOCID + "gnd"),
+                T(gnd_node, RDF_VALUE, F.col("GND")),
+                T(person, NS.BF + "identifiedBy", gnd_node, iri=True),
+                # uuid as bf:Local (:330-350)
+                typ(uuid_node, NS.BF + "Local"),
+                T(uuid_node, RDF_VALUE, F.col("uuid")),
+                T(person, NS.BF + "identifiedBy", uuid_node, iri=True),
+                # psychologist flag (:225-248)
+                T(person, NS.PXP + "isPsychologist", psych, dtype=XSD_BOOL),
+            ),
+            variant_arr,
         ).alias("_arr")
     )
 
-    out = base.unionByName(variants)
     return explode_triples(out, F.col("_arr")).distinct()
