@@ -141,9 +141,18 @@ def main() -> None:
     # Task size is bounded by pages, not just cores: each emit task also
     # runs the map-side partial dedup, and a >1M-triple partial hash map
     # is GC-bound (measured 2.7× worse than linear at 500k pages with
-    # cores*3 tasks). ~2000 pages (~420k triples) per task matches what
-    # maxPartitionBytes-bounded splits give a real cluster scan.
-    n_parts = max(CPUS * 3, N_PAGES // 2000)
+    # cores*3 tasks). The footprint that matters is PER HEAP, not per
+    # task: in local mode all CPUS concurrent partial maps share one JVM,
+    # so the per-task page budget shrinks with concurrency — measured at
+    # 100k pages: local[8] runs 16% faster at 1000 pages/task than 2000
+    # (34.8s→29.2s) while local[2] is flat-to-worse below 2000 (108.0s at
+    # 2000, 113.8s at 1000); under 1000 the task-scheduling overhead
+    # dominates (43.2s at 250/task on 8 cores). clamp(8000/CPUS) hits
+    # both measured optima. On a real cluster the same budget arrives as
+    # maxPartitionBytes-bounded scan splits sized against executor heap
+    # per core, and the default stands.
+    pages_per_task = min(2000, max(1000, 8000 // max(CPUS, 1)))
+    n_parts = max(CPUS * 3, N_PAGES // pages_per_task)
     pages = spark.read.parquet(pages_path).repartition(n_parts)
     # Warm-up on a tiny slice: pays the one-time driver-side costs (py4j
     # Column-tree construction, codegen, JIT) outside the measurement —
