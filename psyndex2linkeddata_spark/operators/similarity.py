@@ -290,10 +290,27 @@ def assign_cells(
     groupBy on the unique corpus id — a hash aggregate whose map-side
     partial combine collapses each id's n_cells candidate rows locally,
     so the one exchange carries exactly |corpus| rows (vs a window sort,
-    which would shuffle the full fan-out)."""
-    c = F.broadcast(centroids.select("cell", F.col("centroid").alias("_cv")))
-    scored = corpus.crossJoin(c).withColumn(
-        "_cos", cosine(F.col(vec_col).cast("array<double>"), F.col("_cv"))
+    which would shuffle the full fan-out).
+
+    Norms are staged ONCE per corpus row and once per centroid, so the
+    per-(row, cell) work is only the dot product — a third of the
+    interpreted-HOF traversals, and bit-identical to cosine(v, cv)
+    (norm is a per-vector value; dot/(nv·nc) is the same double
+    arithmetic in the same order)."""
+    c = F.broadcast(
+        centroids.select(
+            "cell",
+            F.col("centroid").alias("_cv"),
+            norm(F.col("centroid")).alias("_cn"),
+        )
+    )
+    scored = (
+        corpus.withColumn("_vd", F.col(vec_col).cast("array<double>"))
+        .withColumn("_vn", norm(F.col("_vd")))
+        .crossJoin(c)
+        .withColumn(
+            "_cos", dot(F.col("_vd"), F.col("_cv")) / (F.col("_vn") * F.col("_cn"))
+        )
     )
     return scored.groupBy(id_col, vec_col).agg(
         F.max_by(
@@ -372,7 +389,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_star: bool = False,
-    scorer: str = "native",
+    scorer: str = "arrow",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): quantize the corpus into IVF cells, find
@@ -394,10 +411,12 @@ def semantic_dedup(
     pass a precomputed `centroids` table to amortize across corpus
     slices. The closure runs over above-threshold pairs only.
 
-    scorer='native' (default) evaluates pair cosines as JVM expressions —
-    byte-replayable by the DuckDB oracle; scorer='arrow' switches the
-    quadratic stage to the per-cell numpy matmul kernel
-    (semantic_pairs_arrow) — the deployment path at real cell sizes."""
+    scorer='arrow' (default) runs the quadratic stage as the per-cell
+    numpy matmul kernel (semantic_pairs_arrow) — the deployment path at
+    real cell sizes, and gate-exact: threshold-boundary pairs are
+    re-decided with the native scorer's exact sequential arithmetic, so
+    the pair set equals scorer='native' (the all-JVM expression path,
+    kept as the cross-check) bit-for-bit."""
     from psyndex2linkeddata_spark.operators.components import (
         connected_components,
         connected_components_star,
@@ -416,16 +435,27 @@ def semantic_dedup(
     # recomputing the Lloyd training per consumer triples the cost
     centroids = centroids.localCheckpoint(eager=True)
     assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
-    c = F.broadcast(centroids.select("cell", F.col("centroid").alias("_cv")))
+    c = F.broadcast(
+        centroids.select(
+            "cell",
+            F.col("centroid").alias("_cv"),
+            norm(F.col("centroid")).alias("_cn"),
+        )
+    )
     # per-row norm staged ONCE: the pair predicate then evaluates only the
     # dot product — dot/(na·nb) is the exact same double arithmetic as
     # cosine(va, vb) (norms are per-vector values), at a third of the
-    # interpreted-HOF traversals per candidate pair (the quadratic part)
+    # interpreted-HOF traversals per candidate pair (the quadratic part);
+    # the centroid norm is likewise staged in the broadcast dim, not
+    # refolded per corpus row
     withc = assigned.join(c, "cell").select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
         F.col("cell"),
-        cosine(F.col(vec_col).cast("array<double>"), F.col("_cv")).alias("_ccos"),
+        (
+            dot(F.col(vec_col).cast("array<double>"), F.col("_cv"))
+            / (norm(F.col(vec_col).cast("array<double>")) * F.col("_cn"))
+        ).alias("_ccos"),
         norm(F.col(vec_col).cast("array<double>")).alias("_nrm"),
     )
     # the assignment table feeds BOTH pair sides, the cluster join and the
@@ -488,6 +518,7 @@ def semantic_pairs_arrow(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    boundary_eps: float = 1e-6,
 ) -> DataFrame:
     """Within-cell pair scoring as ONE vectorized numpy matmul per cell
     (applyInPandas over groupBy(cell)) — the scale path for
@@ -497,14 +528,23 @@ def semantic_pairs_arrow(
     600 × 64-dim, identical 11.5M-pair output: 8.7s vs 87.3s cold, 4.3s
     vs 5.8s warm on this quota-drifting host — the gemm's advantage
     widens with cell size and dims since the HOF fold is interpreted per
-    element). Memory is k·dims per task, bounded by cell sizing. Pair SETS equal
-    the native scorer except on pairs whose cosine sits within float-
-    summation error of the threshold (BLAS pairwise summation vs
-    sequential fold), which is why the oracle-gated driver row keeps the
-    native scorer and this kernel is the declared deployment path."""
+    element). Memory is k·dims per task, bounded by cell sizing.
+
+    Pair sets are EXACTLY the native scorer's: the gemm decides only
+    pairs whose cosine is more than `boundary_eps` from the threshold
+    (BLAS-vs-sequential summation error is ≲1e-12 for unit-scale
+    vectors, orders below the 1e-6 margin); the few boundary pairs are
+    re-decided with the identical sequential double arithmetic the
+    native scorer evaluates (left-fold dot / (sqrt-fold norms)), so the
+    keep/drop bit matches the JVM expression — and the DuckDB oracle —
+    bit-for-bit. That makes this kernel gate-exact, not just
+    approximately equal, and it is both the deployment path and the
+    oracle-gated driver path."""
     import pandas as pd
 
     def _pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import math
+
         import numpy as np
 
         ids = pdf[id_col].to_numpy()
@@ -513,7 +553,34 @@ def semantic_pairs_arrow(
         with np.errstate(divide="ignore", invalid="ignore"):
             u = m / nrm
         s = u @ u.T
-        ia, ib = np.where(np.triu(s >= threshold, k=1))
+        # candidates include the boundary band; pairs clearly above
+        # threshold keep on the gemm score alone
+        ia, ib = np.where(np.triu(s >= threshold - boundary_eps, k=1))
+        sure = s[ia, ib] >= threshold + boundary_eps
+        border = ~sure
+        if border.any():
+            rows = m  # raw (un-normalized) vectors, as the native scorer sees them
+
+            def _native_keep(i: int, j: int) -> bool:
+                # exact replay of the JVM expression: sequential
+                # left-fold dot and sum-of-squares, then one division —
+                # every intermediate a double op in the same order
+                va, vb = rows[i], rows[j]
+                acc = 0.0
+                na = 0.0
+                nb = 0.0
+                for k in range(va.shape[0]):
+                    x = float(va[k])
+                    y = float(vb[k])
+                    acc = acc + x * y
+                    na = na + x * x
+                    nb = nb + y * y
+                return acc / (math.sqrt(na) * math.sqrt(nb)) >= threshold
+
+            keep = sure.copy()
+            for n in np.where(border)[0]:
+                keep[n] = _native_keep(int(ia[n]), int(ib[n]))
+            ia, ib = ia[keep], ib[keep]
         a, b = ids[ia], ids[ib]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"id_a": lo, "id_b": hi})

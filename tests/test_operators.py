@@ -527,6 +527,47 @@ def test_semantic_dedup_keeper_rule(spark):
     assert got[4] == (4, 4, True)
 
 
+def test_semantic_pairs_arrow_matches_native_on_boundary(spark):
+    """The arrow (numpy gemm) pair scorer must produce EXACTLY the
+    native JVM-expression scorer's pair set — including pairs whose
+    cosine sits at or within float-summation error of the threshold,
+    which the kernel re-decides with the native sequential arithmetic.
+    Stress data: many vector pairs engineered to land exactly ON the
+    0.8 threshold in exact math (cos([1,0],[4,3])=0.8, plus scaled and
+    rotated copies), where BLAS-vs-sequential rounding is most likely
+    to disagree, mixed with clearly-above and clearly-below pairs."""
+    from psyndex2linkeddata_spark.operators.similarity import (
+        ivf_centroids,
+        semantic_dedup,
+    )
+
+    rows = []
+    vid = 0
+    # 40 boundary families: (a, b) with cos==0.8 exactly in exact math,
+    # at varying scales and an extra noise dimension to vary summation
+    for fam in range(40):
+        s = 1.0 + fam * 0.37
+        rows.append((vid, [3.0 * s, 4.0 * s, 0.0, 0.0])); vid += 1
+        rows.append((vid, [0.0, 5.0 * s, 0.0, 0.0])); vid += 1       # cos = 0.8
+        rows.append((vid, [3.0 * s, 4.0 * s, 1e-8, 0.0])); vid += 1  # ~0.8 ± ulp
+    # clear keeps and clear drops
+    for fam in range(10):
+        rows.append((vid, [1.0, 0.0, 0.0, float(fam)])); vid += 1
+        rows.append((vid, [0.0, 1.0, 0.0, float(fam)])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(scorer):
+        cents = ivf_centroids(df, 4, refine_iters=1)
+        return {
+            (r.vec_id, r.cluster_id, r.canonical_id, r.is_canonical)
+            for r in semantic_dedup(
+                df, n_cells=4, threshold=0.8, centroids=cents, scorer=scorer
+            ).collect()
+        }
+
+    assert run("arrow") == run("native")
+
+
 def test_dsir_select_prefers_target_like(spark):
     """DSIR importance resampling: raw docs written in the TARGET's
     vocabulary get positive weights and fill the top ranks; off-

@@ -44,7 +44,10 @@ def multiset(rows, cols):
 
 
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # default to sf0.01 — the driver's gate scale; the bpe_tokens oracle
+    # pins constants computed AT sf0.01 (sf0.001 has the same 500-doc
+    # shape but different text, so it mismatches there by construction)
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark(master="local[8]", app_name="check_oracles")
     con = duckdb.connect()
