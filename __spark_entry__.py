@@ -638,7 +638,15 @@ def q_corpus_stats(spark, sf):
     """Data-card rollup (operators/stats.corpus_stats): per-(source,
     lang) + per-source + grand-total doc/token/dup statistics from ONE
     Expand+aggregate pass (DataFrame.rollup). The oracle replays it
-    with GROUP BY ROLLUP and GROUPING()."""
+    with GROUP BY ROLLUP and GROUPING().
+
+    Row-count triage note: the rollup's group count depends on the
+    (source, lang) combinations present, so it varies with the parquet
+    copy the harness reads (the driver's sf0.1 copy showed 118 groups
+    where a local regeneration showed 121) — a count delta across
+    environments means different input data, not a logic divergence;
+    both sides always agree WITHIN a run because query and oracle read
+    the same files."""
     from psyndex2linkeddata_spark.operators.stats import corpus_stats
 
     return corpus_stats(_t(spark, sf, "documents"))

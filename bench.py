@@ -151,7 +151,9 @@ def main() -> None:
     # both measured optima. On a real cluster the same budget arrives as
     # maxPartitionBytes-bounded scan splits sized against executor heap
     # per core, and the default stands.
-    pages_per_task = min(2000, max(1000, 8000 // max(CPUS, 1)))
+    pages_per_task = int(
+        os.environ.get("SPARK_GRAFT_TASK_PAGES", "0")
+    ) or min(2000, max(1000, 8000 // max(CPUS, 1)))
     n_parts = max(CPUS * 3, N_PAGES // pages_per_task)
     pages = spark.read.parquet(pages_path).repartition(n_parts)
     # Warm-up on a tiny slice: pays the one-time driver-side costs (py4j

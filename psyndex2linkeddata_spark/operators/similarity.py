@@ -47,16 +47,30 @@ def cosine_topk(
 
     queries is broadcast → the 'join' is a map-side nested loop over each
     corpus partition; the only shuffle is the per-query top-k window
-    (partitioned by query_id — uniform)."""
+    (partitioned by query_id — uniform).
+
+    Norms are staged once per corpus row and once per broadcast query —
+    per (row, query) only the dot product is folded; dot/(nv·nq) is the
+    identical double arithmetic to cosine(v, q), just not re-deriving
+    the per-vector norms |queries| and |corpus| times over."""
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("_qvec")
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            norm(F.col(vec_col)).alias("_qn"),
         )
     )
-    scored = corpus.crossJoin(q).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        cosine(F.col(vec_col), F.col("_qvec")).alias("cos"),
+    scored = (
+        corpus.withColumn("_vn", norm(F.col(vec_col)))
+        .crossJoin(q)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (
+                dot(F.col(vec_col), F.col("_qvec"))
+                / (F.col("_vn") * F.col("_qn"))
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         # rank on the DECIMAL(20,10)-quantized cosine: raw-double rank
@@ -123,18 +137,24 @@ def lsh_cosine_topk(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_signature(F.col(vec_col), dims, n_planes).alias("sig"),
+        # norms staged once per side — the bucket-join pair expression
+        # folds only the dot product (identical double arithmetic)
+        norm(F.col(vec_col)).alias("_vn"),
     )
     sig_q = F.broadcast(
         queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("_qvec"),
             hyperplane_signature(F.col(vec_col), dims, n_planes).alias("sig"),
+            norm(F.col(vec_col)).alias("_qn"),
         )
     )
     scored = sig_c.join(sig_q, "sig").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col("_qvec")).alias("cos"),
+        (
+            dot(F.col(vec_col), F.col("_qvec")) / (F.col("_vn") * F.col("_qn"))
+        ).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         # rank on the DECIMAL(20,10)-quantized cosine: raw-double rank
@@ -159,12 +179,27 @@ def cosine_pairs(
     """Embedding near-duplicate pairs (id_a < id_b, cos ≥ threshold).
 
     Brute force (small scale); at 10^12 rows use hyperplane buckets first
-    (join on `sig` like lsh_cosine_topk) — O(n²/2^planes)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    (join on `sig` like lsh_cosine_topk) — O(n²/2^planes). Norms are
+    staged once per row, not refolded per pair (same double ops)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col)).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col)).alias("_nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            ).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
     )
 
@@ -195,13 +230,33 @@ def lsh_cosine_pairs(
             hyperplane_signature_offset(
                 F.col(vec_col), dims, n_planes, plane_offset=t * n_planes
             ).alias("sig"),
+            # norm staged once per row — per candidate pair only the dot
+            # product is folded (identical double arithmetic)
+            norm(F.col(vec_col)).alias("_n"),
         )
-        a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "sig")
-        b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "sig")
+        a = sig.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("_va"),
+            F.col("_n").alias("_na"),
+            "sig",
+        )
+        b = sig.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("_vb"),
+            F.col("_n").alias("_nb"),
+            "sig",
+        )
         parts.append(
             a.join(b, "sig")
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    dot(F.col("_va"), F.col("_vb"))
+                    / (F.col("_na") * F.col("_nb"))
+                ).alias("cos"),
+            )
             .where(F.col("cos") >= threshold)
         )
     out = parts[0]
@@ -347,24 +402,44 @@ def ivf_topk(
             corpus, n_cells, refine_iters=refine_iters, id_col=id_col, vec_col=vec_col
         )
     assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
-    c = F.broadcast(centroids.select("cell", F.col("centroid").alias("_cv")))
+    c = F.broadcast(
+        centroids.select(
+            "cell",
+            F.col("centroid").alias("_cv"),
+            norm(F.col("centroid")).alias("_cn"),
+        )
+    )
     wq = Window.partitionBy(query_id_col).orderBy(
         F.col("_cos").desc(), F.col("cell").asc()
     )
+    # norms staged once per query / centroid / corpus row — each probe
+    # and candidate expression folds only the dot product (identical
+    # double arithmetic to the cosine() it replaces)
     probes = (
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).cast("array<double>").alias("_qd"),
+        )
+        .withColumn("_qn", norm(F.col("_qd")))
         .crossJoin(c)
-        .withColumn("_cos", cosine(F.col("_qvec").cast("array<double>"), F.col("_cv")))
+        .withColumn(
+            "_cos", dot(F.col("_qd"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+        )
         .withColumn("_rn", F.row_number().over(wq))
         .where(F.col("_rn") <= n_probes)
-        .select(query_id_col, "cell", "_qvec")
+        .select(query_id_col, "cell", "_qd", "_qn")
     )
-    scored = assigned.join(F.broadcast(probes), "cell").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        cosine(
-            F.col(vec_col).cast("array<double>"), F.col("_qvec").cast("array<double>")
-        ).alias("cos"),
+    scored = (
+        assigned.withColumn("_vd", F.col(vec_col).cast("array<double>"))
+        .withColumn("_vn", norm(F.col("_vd")))
+        .join(F.broadcast(probes), "cell")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (
+                dot(F.col("_vd"), F.col("_qd")) / (F.col("_vn") * F.col("_qn"))
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         # rank on the DECIMAL(20,10)-quantized cosine: raw-double rank

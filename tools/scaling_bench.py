@@ -101,20 +101,40 @@ def main() -> None:
     )
     write_pages_parquet(pages_path, n_pages)
     os.environ.setdefault("SPARK_GRAFT_REPS", "2")
-    r_lo = run(lo, n_pages, pages_path)
-    r_hi = run(hi, n_pages, pages_path)
+    # The host's CPU quota drifts on minute timescales — LARGER than any
+    # in-process rep spread (identical local[4] legs measured 51.9s and
+    # 62.4s twenty minutes apart). Running all lo reps then all hi reps
+    # confounds the ratio with that drift, so the legs are INTERLEAVED
+    # lo,hi,lo,hi across SPARK_GRAFT_ROUNDS subprocess rounds and each
+    # level takes its minimum — both minima then come from comparable
+    # quota windows.
+    rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "2"))
+    r_lo = r_hi = None
+    for _ in range(max(rounds, 1)):
+        cand_lo = run(lo, n_pages, pages_path)
+        cand_hi = run(hi, n_pages, pages_path)
+        if r_lo is None or cand_lo["queries"]["kg_pipeline"] < r_lo["queries"]["kg_pipeline"]:
+            r_lo = cand_lo
+        if r_hi is None or cand_hi["queries"]["kg_pipeline"] < r_hi["queries"]["kg_pipeline"]:
+            r_hi = cand_hi
     t_lo = r_lo["queries"]["kg_pipeline"]
     t_hi = r_hi["queries"]["kg_pipeline"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # interleave the ceiling probes the same way
     p_lo, p_hi = probe(lo), probe(hi)
+    for _ in range(max(rounds - 1, 0)):
+        p_lo = min(p_lo, probe(lo))
+        p_hi = min(p_hi, probe(hi))
     ceiling = (p_lo / p_hi) / (hi / lo)
     md = f"""# BENCH — two-parallelism scaling evidence
 
 Same job (pages→triples KG pipeline, {n_pages} pages, seed=42) at two
 parallelism levels on identical input — the sandbox stand-in for the
 N-vs-4N-executor criterion (no real cluster available here). Timed region
-= best of {os.environ['SPARK_GRAFT_REPS']} in-process repetitions (the
-host's CPU quota varies between runs).
+= best of {os.environ['SPARK_GRAFT_REPS']} in-process repetitions ×
+{os.environ.get('SPARK_GRAFT_ROUNDS', '2')} INTERLEAVED lo/hi rounds (the
+host's CPU quota drifts on minute timescales — larger than the in-process
+rep spread — so sequential legs would confound the ratio with drift).
 
 | level | wall (s) | triples/sec |
 |---|---|---|
