@@ -3,7 +3,11 @@ __spark_entry__.queries() entry and its oracle_sql() on the same sf dir,
 compare row count + order-insensitive value multiset.
 
 Usage: PYTHONPATH=/root/repo python tools/check_oracles.py [sf_dir] [name ...]
-"""
+
+Set CHECK_ORACLES_EXACT=1 to compare doubles bit-for-bit (float.hex)
+instead of at 1e-6 — the driver's gate hashes values, so a query that
+passes only at 1e-6 here can still hash-mismatch there (that is exactly
+how corpus_stats/hybrid_rrf slipped through in round 4)."""
 
 from __future__ import annotations
 
@@ -21,6 +25,9 @@ from psyndex2linkeddata_spark.session import get_spark
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+EXACT = os.environ.get("CHECK_ORACLES_EXACT", "") == "1"
+
+
 def norm_cell(v):
     import datetime
     import math
@@ -28,6 +35,8 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if EXACT:
+            return v.hex()
         return f"{v:.6f}"
     if isinstance(v, datetime.datetime):
         return v.isoformat()
