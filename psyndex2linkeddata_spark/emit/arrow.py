@@ -98,16 +98,34 @@ def jsplit(s, pat):
     return parts
 
 
+_MULTISPACE_RE = re.compile(" {2,}")
+
+
 def collapse(s):
-    return None if s is None else trim(re.sub(" {2,}", " ", s))
+    if s is None:
+        return None
+    # gate: the sub is identity unless a double space exists ("  " in s
+    # is a C-speed scan; the regex pass is ~10× the cost)
+    if "  " in s:
+        s = _MULTISPACE_RE.sub(" ", s)
+    return trim(s)
 
 
 def clean_text(s):
-    """F1 (^DD table, ordered) + F2 (basic entities, &amp; last)."""
+    """F1 (^DD table, ordered) + F2 (basic entities, &amp; last).
+
+    Gates are exact: every dd_codes pattern contains '^' except the bare
+    '\\x9a' entry, and every _BASIC_ENTITIES pattern starts with '&' —
+    when the marker char is absent each replace is identity, so the
+    whole ordered chain (106 + 24 full-string scans) can be skipped
+    (test_clean_text_gate_invariants pins the table property)."""
     if s is None:
         return None
-    for raw, repl in dd_codes:
-        s = s.replace(raw, repl)
+    if "^" in s or "\x9a" in s:
+        for raw, repl in dd_codes:
+            s = s.replace(raw, repl)
+    if "&" not in s:
+        return s
     for raw, repl in _BASIC_ENTITIES:
         if raw == "&amp;":
             continue

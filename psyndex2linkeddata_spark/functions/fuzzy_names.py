@@ -41,6 +41,7 @@ carries its own independent implementation (tests/golden_oracle.py).
 
 from __future__ import annotations
 
+from collections import Counter
 from difflib import SequenceMatcher
 
 _UMLAUTS = [
@@ -65,11 +66,9 @@ def normalize_person_name(family: str | None, given: str | None) -> str | None:
     return fam
 
 
-def partial_ratio(s1: str, s2: str) -> int:
-    """fuzzywuzzy-compatible partial_ratio (0..100, difflib backend)."""
-    if s1 is None or s2 is None:
-        return 0
-    shorter, longer = (s1, s2) if len(s1) <= len(s2) else (s2, s1)
+def _partial_ratio_blocks(shorter: str, longer: str) -> int:
+    """The unshortcut block algorithm (fuzzywuzzy's, on difflib) — kept
+    separate so the fast paths below can be parity-tested against it."""
     blocks = SequenceMatcher(None, shorter, longer).get_matching_blocks()
     best = 0.0
     for i, j, _size in blocks:
@@ -80,6 +79,47 @@ def partial_ratio(s1: str, s2: str) -> int:
             return 100
         best = max(best, 100 * r)
     return int(round(best))
+
+
+def partial_ratio(s1: str, s2: str) -> int:
+    """fuzzywuzzy-compatible partial_ratio (0..100, difflib backend).
+
+    Fast path: when the shorter string occurs verbatim in the longer,
+    the block walk is guaranteed to find that alignment (the occurrence
+    IS the longest matching block, so (0, j, len(shorter)) is emitted and
+    its window ratio is 1.0 → the early 100 return) — returning 100
+    directly is exact, and covers the most common case in the J9/J10
+    matcher (identical normalized names)."""
+    if s1 is None or s2 is None:
+        return 0
+    shorter, longer = (s1, s2) if len(s1) <= len(s2) else (s2, s1)
+    if shorter in longer:
+        return 100
+    return _partial_ratio_blocks(shorter, longer)
+
+
+def partial_ratio_gt(s1: str, s2: str, threshold: int) -> bool:
+    """Exact `partial_ratio(s1, s2) > threshold`, cheaply.
+
+    Upper-bound certificate: SequenceMatcher.ratio() = 2M/(len(a)+len(b))
+    with M the total matched-block size. M is a common subsequence of the
+    shorter string `a` and a window `b` of the longer, so M ≤ inter (the
+    char-multiset intersection of shorter and LONGER — a superset of any
+    window's), and len(b) ≥ M (the window contains the matched chars).
+    Hence ratio ≤ 2·inter/(len(a)+inter), monotone in M. partial_ratio
+    rounds half-up, so `100·best < threshold + 0.5` certifies the int
+    comparison is False — no difflib call needed. Otherwise fall through
+    to the exact algorithm. ~41% of the emit stage's CPU was difflib on
+    pairs this bound rejects (BENCH.md round-5 close)."""
+    if s1 is None or s2 is None:
+        return 0 > threshold
+    shorter, longer = (s1, s2) if len(s1) <= len(s2) else (s2, s1)
+    if shorter in longer:
+        return 100 > threshold
+    inter = sum((Counter(shorter) & Counter(longer)).values())
+    if 200.0 * inter / (len(shorter) + inter) < threshold + 0.5:
+        return False
+    return _partial_ratio_blocks(shorter, longer) > threshold
 
 
 def split_comma_name(name: str) -> tuple[str, str | None]:
@@ -131,7 +171,7 @@ def match_ids_to_positions(
         for pos, agent_norm in norm_positions:
             if agent_norm is None:
                 continue
-            if partial_ratio(entry_norm, agent_norm) > threshold:
+            if partial_ratio_gt(entry_norm, agent_norm, threshold):
                 out.setdefault(pos, []).append(id_)
                 break
         else:
@@ -148,7 +188,7 @@ def match_ids_to_positions(
                     if agent_norm is None:
                         continue
                     if (
-                        partial_ratio(alt_norm, agent_norm) > threshold
+                        partial_ratio_gt(alt_norm, agent_norm, threshold)
                         and id_ not in out.get(pos, [])
                     ):
                         out.setdefault(pos, []).append(id_)

@@ -349,3 +349,51 @@ def test_with_top_bigram_frac_matches_stats(spark):
     assert set(out.columns) == {"doc_id", "text", "top_bigram_frac"}
     b = {r.doc_id: r.top_bigram_frac for r in out.collect()}
     assert a == b
+
+
+def test_partial_ratio_fast_paths_match_block_algorithm():
+    """The substring fast path and the partial_ratio_gt upper-bound
+    reject must be EXACTLY the block algorithm's decision — the J9/J10
+    matcher output feeds the byte-exact reference gate."""
+    import random
+
+    from psyndex2linkeddata_spark.functions.fuzzy_names import (
+        _partial_ratio_blocks,
+        partial_ratio,
+        partial_ratio_gt,
+    )
+
+    rng = random.Random(7)
+    alpha = "abcdefghij ,.ABCxyz"
+    names = [
+        "Mueller, T.", "Schmidt, A.", "Mueller-Schmidt, T.", "", "a",
+        "Garcia Lopez, M.", "Nguyen, H.",
+    ]
+    for trial in range(4000):
+        if trial % 3 == 0:
+            a, b = rng.choice(names), rng.choice(names)
+        else:
+            a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 14)))
+            b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 18)))
+        sh, lo = (a, b) if len(a) <= len(b) else (b, a)
+        ref = _partial_ratio_blocks(sh, lo)
+        assert partial_ratio(a, b) == ref
+        for t in (0, 50, 80, 99, 100):
+            assert partial_ratio_gt(a, b, t) == (ref > t)
+
+
+def test_clean_text_gate_invariants():
+    """clean_text skips the 106-entry dd chain when neither '^' nor
+    '\\x9a' occurs, and the entity chain when '&' is absent — exact only
+    while every pattern carries its marker. Pin that table property."""
+    from psyndex2linkeddata_spark.data.tables import dd_codes
+    from psyndex2linkeddata_spark.emit.arrow import _BASIC_ENTITIES, clean_text
+
+    for raw, _ in dd_codes:
+        assert "^" in raw or raw == "\x9a"
+    for raw, _ in _BASIC_ENTITIES:
+        assert raw.startswith("&")
+    # spot behavior: gated and ungated inputs
+    assert clean_text('a^D"&rger &amp; Co  x') == "ärger & Co  x"
+    assert clean_text("plain text, no markers") == "plain text, no markers"
+    assert clean_text("\x9a") == "š"
