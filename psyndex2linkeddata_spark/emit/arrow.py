@@ -1861,15 +1861,22 @@ _LINE_RE = re.compile(r"^([A-Z][A-Z0-9]*) (.*)$", re.A)
 
 def parse_page_text(text: str) -> dict:
     """pages.text ('TAG value' lines) -> record dict; F1+F2 cleaning is
-    applied to the whole text first, exactly like extract_records."""
+    applied to the whole text first, exactly like extract_records.
+
+    The line split is `partition(' ')` + schema-set membership rather
+    than the _LINE_RE regex: the regex's [A-Z][A-Z0-9]* tag constraint
+    is subsumed by the tag having to be a known SCALAR/REPEATED field
+    (all uppercase-alnum by construction), and its mandatory space is
+    the partition separator check — equivalence is pinned by
+    test_parse_page_text_partition_equals_regex, and the partition form
+    drops ~250k regex matches per 3000 pages (~7% of kernel CPU)."""
     rec: dict = {}
     if text is None:
         return rec
     for line in clean_text(text).split("\n"):
-        m = _LINE_RE.match(line)
-        if not m:
+        tag, sep, value = line.partition(" ")
+        if not sep:
             continue
-        tag, value = m.group(1), m.group(2)
         if tag in _SCALARS:
             rec.setdefault(tag, value)
         elif tag in _REPEATED:

@@ -397,3 +397,53 @@ def test_clean_text_gate_invariants():
     assert clean_text('a^D"&rger &amp; Co  x') == "ärger & Co  x"
     assert clean_text("plain text, no markers") == "plain text, no markers"
     assert clean_text("\x9a") == "š"
+
+
+def test_parse_page_text_partition_equals_regex():
+    """parse_page_text's partition(' ')+schema-set line split must equal
+    the original _LINE_RE regex form: the regex's [A-Z][A-Z0-9]* tag
+    constraint is subsumed by known-field membership (every SCALAR/
+    REPEATED tag is uppercase-alnum), and its mandatory literal space is
+    the partition separator check. Pinned over the synthetic corpus plus
+    adversarial lines (no-space, leading-space, tab, double-space,
+    lowercase tag, unknown uppercase tag, \\r remnants, empty value)."""
+    from psyndex2linkeddata_spark.datagen.pages import (
+        make_records,
+        pages_rows_from_records,
+    )
+    from psyndex2linkeddata_spark.emit.arrow import (
+        _LINE_RE,
+        _REPEATED,
+        _SCALARS,
+        clean_text,
+        parse_page_text,
+    )
+
+    # every tag the partition form can accept is uppercase-alnum, so the
+    # regex tag constraint adds nothing for known fields
+    for tag in _SCALARS | _REPEATED:
+        assert _LINE_RE.match(f"{tag} x"), tag
+
+    def parse_regex(text):
+        rec = {}
+        if text is None:
+            return rec
+        for line in clean_text(text).split("\n"):
+            m = _LINE_RE.match(line)
+            if not m:
+                continue
+            tag, value = m.group(1), m.group(2)
+            if tag in _SCALARS:
+                rec.setdefault(tag, value)
+            elif tag in _REPEATED:
+                rec.setdefault(tag, []).append(value)
+        return rec
+
+    adversarial = (
+        "DFK\nDFK 0001\n DFK 0002\nDFK\t0003\nTI  double space\nti lower\n"
+        "ZZZZ unknown uppercase\nAUP \nAUP x\rcarriage\nAUP a, b |i Org\n"
+        "\nTI\nTI2 9 ok"
+    )
+    texts = [r["text"] for r in pages_rows_from_records(make_records(200))]
+    for t in texts + [adversarial, None, ""]:
+        assert parse_page_text(t) == parse_regex(t), t
