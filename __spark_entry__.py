@@ -106,6 +106,7 @@ def q_sessionize(spark, sf):
 
 _WORKS = "https://w3id.org/zpid/resources/works/"
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_SKOS = "http://www.w3.org/2004/02/skos/core#"
 _RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
 _BF_WORK = "http://id.loc.gov/ontologies/bibframe/Work"
 _SCHEMA_LANG = "https://schema.org/inLanguage"
@@ -927,6 +928,60 @@ def q_connected_components(spark, sf):
     return connected_components(edges)
 
 
+def q_skos_hygiene(spark, sf):
+    """Skosify vocabulary hygiene (plans/skos.py — the reference's
+    terms-conversion post-processing step, exact-gated against its
+    checked-in skosify run in tests/test_skosify_refexec.py) over a
+    synthetic SKOS vocab built from `nation`: five broader-chains
+    (k → k-5, the k∈[5,10) hop declared only via skos:narrower to
+    exercise the inverse union), related pairs that conflict across two
+    hierarchy hops, surviving related pairs across chains, and one
+    pre-marked top concept exercising the already-marked guard. The
+    oracle replays the construction + recursive closure + anti-joins
+    in SQL."""
+    from psyndex2linkeddata_spark.plans.skos import SKOS, skosify_hygiene
+
+    n = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    c = F.concat(F.lit("v:c"), F.col("k").cast("string"))
+    parent = F.concat(F.lit("v:c"), (F.col("k") - 5).cast("string"))
+    rel10 = F.concat(F.lit("v:c"), (F.col("k") + 10).cast("string"))
+    succ = F.concat(F.lit("v:c"), (F.col("k") + 1).cast("string"))
+
+    def mk(df, s, p, o):
+        return df.select(
+            s.alias("subj"),
+            F.lit(p).alias("pred"),
+            o.alias("obj"),
+            F.lit(True).alias("obj_is_iri"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("dtype"),
+        )
+
+    one = spark.range(1)
+    vocab = (
+        mk(one, F.lit("v:S"), _RDF_TYPE, F.lit(SKOS + "ConceptScheme"))
+        .union(mk(n, c, _RDF_TYPE, F.lit(SKOS + "Concept")))
+        .union(mk(n, c, SKOS + "inScheme", F.lit("v:S")))
+        .union(mk(n.where(F.col("k") >= 10), c, SKOS + "broader", parent))
+        .union(
+            mk(
+                n.where((F.col("k") >= 5) & (F.col("k") < 10)),
+                parent,
+                SKOS + "narrower",
+                c,
+            )
+        )
+        .union(mk(n.where(F.col("k") < 10), c, SKOS + "related", rel10))
+        .union(mk(n.where(F.col("k") < 10), rel10, SKOS + "related", c))
+        .union(mk(n.where(F.col("k") < 4), c, SKOS + "related", succ))
+        .union(mk(n.where(F.col("k") < 4), succ, SKOS + "related", c))
+        .union(mk(one, F.lit("v:c0"), SKOS + "topConceptOf", F.lit("v:S")))
+    )
+    return skosify_hygiene(vocab).select("subj", "pred", "obj")
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible (rows-only checks)
 # --------------------------------------------------------------------------
@@ -1202,7 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (second TPC-H-style demos; lang_id_ngram vs lang_id; cdc_chunks vs
     # chunk_text; lsh_topk vs embedding/ivf_topk; strip_spans vs dup_spans;
     # repetition vs quality; fingerprints vs token_counts; snapshot_dedup
-    # vs extract_text + the dedup family). ALL 61 entries are oracled —
+    # vs extract_text + the dedup family). ALL 62 entries are oracled —
     # tools/check_oracles.py runs the full set (recorded in
     # CORRECTNESS_local_full.md each round).
     return {
@@ -1268,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_dedup": q_snapshot_dedup,
         "repetition": q_repetition,
         "fingerprints": q_fingerprints,
+        "skos_hygiene": q_skos_hygiene,
     }
 
 
@@ -2867,5 +2923,73 @@ def oracle_sql() -> dict[str, str]:
                    cast(len(regexp_extract_all(t,
                      '\b(?:\d{1,3}\.){3}\d{1,3}\b')) as bigint) as n_ips
             from aug
+        """,
+        "skos_hygiene": f"""
+            with recursive
+            n as (select cast(n_nationkey as bigint) as k from nation),
+            vocab(subj, pred, obj) as (
+              select 'v:S', '{_RDF_TYPE}', '{_SKOS}ConceptScheme'
+              union all
+              select 'v:c' || k, '{_RDF_TYPE}', '{_SKOS}Concept' from n
+              union all
+              select 'v:c' || k, '{_SKOS}inScheme', 'v:S' from n
+              union all
+              select 'v:c' || k, '{_SKOS}broader', 'v:c' || (k - 5)
+              from n where k >= 10
+              union all
+              select 'v:c' || (k - 5), '{_SKOS}narrower', 'v:c' || k
+              from n where k >= 5 and k < 10
+              union all
+              select 'v:c' || k, '{_SKOS}related', 'v:c' || (k + 10)
+              from n where k < 10
+              union all
+              select 'v:c' || (k + 10), '{_SKOS}related', 'v:c' || k
+              from n where k < 10
+              union all
+              select 'v:c' || k, '{_SKOS}related', 'v:c' || (k + 1)
+              from n where k < 4
+              union all
+              select 'v:c' || (k + 1), '{_SKOS}related', 'v:c' || k
+              from n where k < 4
+              union all
+              select 'v:c0', '{_SKOS}topConceptOf', 'v:S'
+            ),
+            hier as (
+              select subj, obj from vocab where pred = '{_SKOS}broader'
+              union
+              select obj, subj from vocab where pred = '{_SKOS}narrower'
+            ),
+            closure(subj, obj) as (
+              select subj, obj from hier
+              union
+              select c.subj, h.obj from closure c join hier h on c.obj = h.subj
+            ),
+            cleaned as (
+              select subj, pred, obj from vocab v
+              where not (v.pred = '{_SKOS}related' and exists (
+                select 1 from closure c
+                where (c.subj = v.subj and c.obj = v.obj)
+                   or (c.subj = v.obj and c.obj = v.subj)))
+            ),
+            loose as (
+              select distinct i.subj as c, i.obj as s
+              from vocab i
+              where i.pred = '{_SKOS}inScheme'
+                and exists (select 1 from vocab t where t.subj = i.obj
+                  and t.pred = '{_RDF_TYPE}' and t.obj = '{_SKOS}ConceptScheme')
+                and exists (select 1 from vocab t where t.subj = i.subj
+                  and t.pred = '{_RDF_TYPE}' and t.obj = '{_SKOS}Concept')
+                and not exists (select 1 from hier h where h.subj = i.subj)
+                and not exists (select 1 from vocab t
+                  where (t.pred = '{_SKOS}topConceptOf'
+                         and t.subj = i.subj and t.obj = i.obj)
+                     or (t.pred = '{_SKOS}hasTopConcept'
+                         and t.subj = i.obj and t.obj = i.subj))
+            )
+            select subj, pred, obj from cleaned
+            union all
+            select s, '{_SKOS}hasTopConcept', c from loose
+            union all
+            select c, '{_SKOS}topConceptOf', s from loose
         """,
     }

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["bgp_match", "path_closure", "sparql_select"]
+__all__ = ["bgp_match", "edge_closure", "path_closure", "sparql_select"]
 
 _POS = ("subj", "pred", "obj")
 
@@ -54,8 +54,17 @@ def path_closure(
         .select("subj", "obj")
         .where(F.col("subj").isNotNull() & F.col("obj").isNotNull())
         .distinct()
-        .localCheckpoint()
     )
+    return edge_closure(e, max_iter=max_iter)
+
+
+def edge_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Transitive closure of an arbitrary ``(subj, obj)`` edge DataFrame —
+    the semi-naive kernel behind :func:`path_closure`, exposed for callers
+    whose edge set is not a single predicate (e.g. plans/skos.py, where
+    the hierarchy is ``skos:broader`` unioned with inverted
+    ``skos:narrower``)."""
+    e = edges.select("subj", "obj").distinct().localCheckpoint()
     closure = e
     frontier = e
     for _ in range(max_iter):
