@@ -982,6 +982,50 @@ def q_skos_hygiene(spark, sf):
     return skosify_hygiene(vocab).select("subj", "pred", "obj")
 
 
+def q_work_extraction(spark, sf):
+    """FRBR work extraction (plans/works.py — the decision procedure of
+    the reference's work_extraction.ipynb design document, distributed)
+    over synthetic instance records built from `documents`: 97 title
+    blocks of size 5-6 (>5 → the notebook's no-merge guard), abstracts
+    shared within parity classes (merge candidates), a ±2-year window,
+    report/article doctype mix (preprint links), and empty abstracts
+    that must never count as evidence. The oracle replays blocking,
+    pair classing, and the merge-component closure in SQL."""
+    from psyndex2linkeddata_spark.plans.works import extract_works
+
+    d = _t(spark, sf, "documents").select(F.col("doc_id").cast("long"))
+    b = (F.col("doc_id") % 97).cast("string")
+    recs = d.select(
+        F.concat(
+            F.lit("r"), F.lpad(F.col("doc_id").cast("string"), 6, "0")
+        ).alias("rec_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit("Title: "), b)
+        )
+        .otherwise(F.concat(F.lit("title "), b, F.lit(".")))
+        .alias("title"),
+        F.concat(F.lit("Author-"), b).alias("authors"),
+        F.when(
+            (F.col("doc_id") % 97) % 4 == 0, F.lit(None).cast("string")
+        )
+        .otherwise(F.concat(F.lit("Journal "), b))
+        .alias("journal"),
+        (F.lit(2000) + F.col("doc_id") % 5).alias("year"),
+        F.when(F.col("doc_id") % 10 == 7, F.lit("report"))
+        .otherwise(F.lit("article"))
+        .alias("doctype"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(""))
+        .otherwise(
+            F.concat(
+                F.lit("Abstract "), b, F.lit("-"),
+                (F.col("doc_id") % 2).cast("string"),
+            )
+        )
+        .alias("abstract"),
+    )
+    return extract_works(recs, max_block=5, year_window=2)
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible (rows-only checks)
 # --------------------------------------------------------------------------
@@ -1257,7 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (second TPC-H-style demos; lang_id_ngram vs lang_id; cdc_chunks vs
     # chunk_text; lsh_topk vs embedding/ivf_topk; strip_spans vs dup_spans;
     # repetition vs quality; fingerprints vs token_counts; snapshot_dedup
-    # vs extract_text + the dedup family). ALL 62 entries are oracled —
+    # vs extract_text + the dedup family). ALL 63 entries are oracled —
     # tools/check_oracles.py runs the full set (recorded in
     # CORRECTNESS_local_full.md each round).
     return {
@@ -1324,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "fingerprints": q_fingerprints,
         "skos_hygiene": q_skos_hygiene,
+        "work_extraction": q_work_extraction,
     }
 
 
@@ -2991,5 +3036,86 @@ def oracle_sql() -> dict[str, str]:
             select s, '{_SKOS}hasTopConcept', c from loose
             union all
             select c, '{_SKOS}topConceptOf', s from loose
+        """,
+        "work_extraction": """
+            with recursive
+            recs as (
+              select 'r' || lpad(cast(doc_id as varchar), 6, '0') as rec_id,
+                     case when doc_id % 2 = 0
+                          then 'Title: ' || (doc_id % 97)
+                          else 'title ' || (doc_id % 97) || '.' end as title,
+                     'Author-' || (doc_id % 97) as authors,
+                     case when (doc_id % 97) % 4 = 0 then null
+                          else 'Journal ' || (doc_id % 97) end as journal,
+                     2000 + doc_id % 5 as yr,
+                     case when doc_id % 10 = 7 then 'report'
+                          else 'article' end as doctype,
+                     case when doc_id % 11 = 0 then ''
+                          else 'Abstract ' || (doc_id % 97) || '-'
+                               || (doc_id % 2) end as abstract
+              from documents
+            ),
+            r as (
+              select rec_id,
+                     regexp_replace(lower(title), '[^a-z0-9]+', '', 'g') as tk,
+                     regexp_replace(lower(authors), '[^a-z0-9]+', '', 'g') as ak,
+                     regexp_replace(lower(journal), '[^a-z0-9]+', '', 'g') as jk,
+                     yr, doctype,
+                     case when len(trim(abstract)) > 0 then md5(abstract)
+                     end as ah
+              from recs
+            ),
+            sized as (select r.*,
+                             count(*) over (partition by tk, ak) as block_size
+                      from r),
+            small as (select * from sized where block_size between 2 and 5),
+            classed as (
+              select * from (
+                select x.rec_id as rec_a, y.rec_id as rec_b,
+                       case when x.ah is not null and y.ah is not null
+                                 and x.ah = y.ah and abs(x.yr - y.yr) <= 2
+                            then case when (x.doctype = 'report')
+                                           <> (y.doctype = 'report')
+                                      then 'preprint' else 'merged' end
+                            when x.jk is not null and x.jk = y.jk
+                            then 'serial'
+                       end as relation
+                from small x
+                join small y on x.tk = y.tk and x.ak = y.ak
+                            and x.rec_id < y.rec_id
+              ) where relation is not null
+            ),
+            edges as (select rec_a as src, rec_b as dst from classed
+                      where relation = 'merged'),
+            und as (select src, dst from edges
+                    union select dst, src from edges),
+            nodes as (select distinct src as node from und),
+            reach(node, lab) as (
+              select node, node from nodes
+              union
+              select u.src, r2.lab from und u join reach r2 on u.dst = r2.node
+            ),
+            cc as (select node, min(lab) as component from reach
+                   group by node),
+            touched as (
+              select rec_id,
+                     max(case relation when 'merged' then 3
+                         when 'preprint' then 2 else 1 end) as rk
+              from (select rec_a as rec_id, relation from classed
+                    union all
+                    select rec_b, relation from classed)
+              group by rec_id
+            )
+            select s.rec_id,
+                   coalesce(cc.component, s.rec_id) as work_id,
+                   s.block_size,
+                   coalesce(
+                     case t.rk when 3 then 'merged' when 2 then 'preprint'
+                          when 1 then 'serial' end,
+                     case when s.block_size > 5 then 'blocked_series'
+                          else 'singleton' end) as relation
+            from sized s
+            left join touched t using (rec_id)
+            left join cc on cc.node = s.rec_id
         """,
     }
