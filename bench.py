@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "bgp_query",
     "path_query",
     "last_wins",
+    "skos_hygiene",
+    "work_extraction",
 ]
 
 

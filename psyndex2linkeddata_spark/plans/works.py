@@ -41,14 +41,14 @@ Column expressions — md5/lower/regexp_replace are JVM built-ins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from psyndex2linkeddata_spark.operators.components import connected_components
 
 __all__ = ["extract_works", "title_key"]
 
 
-def title_key(col: F.Column) -> F.Column:
+def title_key(col: Column) -> Column:
     """Punctuation/case-insensitive blocking key: lowercase, strip
     everything but letters and digits (unicode-aware lower; the
     notebook's two 'Verteilung des Glaubens...' titles differ only in
@@ -117,6 +117,11 @@ def extract_works(
         )
         .alias("relation"),
     ).where(F.col("relation").isNotNull())
+    # classed is consumed three times (merge edges, both touched
+    # branches); without a cut each consumer would replay the blocking
+    # window shuffle AND the self-join. The pair set is tiny (≤
+    # max_block² per small block), so materialize it once.
+    classed = classed.localCheckpoint(eager=False)
 
     merge_edges = classed.where(F.col("relation") == "merged").select(
         F.col("rec_a").alias("src"), F.col("rec_b").alias("dst")
