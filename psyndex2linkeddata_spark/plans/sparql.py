@@ -146,10 +146,14 @@ class ParsedQuery:
 
 
 class _Parser:
-    def __init__(self, text: str):
+    def __init__(self, text: str, prefixes: dict[str, str] | None = None):
         self.toks = _lex(text)
         self.i = 0
-        self.prefixes: dict[str, str] = {}
+        # seed prefixes mirror rdflib's graph-level namespace bindings
+        # (prefixes bound while parsing the DATA document are available
+        # to queries — the reference's sparql_queries.ipynb relies on
+        # this); explicit PREFIX declarations in the prologue override.
+        self.prefixes: dict[str, str] = dict(prefixes or {})
         self.n_fresh = 0
 
     # -- token helpers ----------------------------------------------------
@@ -612,8 +616,10 @@ def _compile_group(g: _Group, counter: list[int]) -> dict:
     }
 
 
-def parse_sparql(query: str) -> ParsedQuery:
-    return _Parser(query).parse()
+def parse_sparql(
+    query: str, prefixes: dict[str, str] | None = None
+) -> ParsedQuery:
+    return _Parser(query, prefixes=prefixes).parse()
 
 
 def _is_synthetic(name: str) -> bool:
@@ -640,10 +646,16 @@ def _solutions(
     return sol, vars_
 
 
-def sparql_select(triples: DataFrame, query: str) -> DataFrame:
+def sparql_select(
+    triples: DataFrame,
+    query: str,
+    prefixes: dict[str, str] | None = None,
+) -> DataFrame:
     """SPARQL SELECT → DataFrame with one column per projected variable
-    (without the ``?``). See the module docstring for the dialect."""
-    q = parse_sparql(query)
+    (without the ``?``). See the module docstring for the dialect.
+    ``prefixes`` seeds qname expansion like rdflib's graph-bound
+    namespaces (PREFIX declarations in the query override)."""
+    q = parse_sparql(query, prefixes=prefixes)
     if q.form != "SELECT":
         raise ValueError("use sparql_construct for CONSTRUCT queries")
     sol, all_vars = _solutions(triples, q, capture_meta=False)
@@ -701,14 +713,18 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     return out
 
 
-def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
+def sparql_construct(
+    triples: DataFrame,
+    query: str,
+    prefixes: dict[str, str] | None = None,
+) -> DataFrame:
     """SPARQL CONSTRUCT → triples-schema DataFrame (set semantics, like
     an RDF graph). Template variables keep their matched literal
     metadata via bgp_match(capture_meta=True); constant template terms
     carry their parsed kind (IRI vs literal). Solutions leaving any
     template variable unbound skip that template triple (SPARQL
     semantics for OPTIONAL-bound template vars)."""
-    q = parse_sparql(query)
+    q = parse_sparql(query, prefixes=prefixes)
     if q.form != "CONSTRUCT":
         raise ValueError("use sparql_select for SELECT queries")
     sol, _ = _solutions(triples, q, capture_meta=True)
@@ -761,12 +777,16 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     return out.distinct()
 
 
-def sparql(triples: DataFrame, query: str) -> DataFrame:
+def sparql(
+    triples: DataFrame,
+    query: str,
+    prefixes: dict[str, str] | None = None,
+) -> DataFrame:
     """Dispatch on query form: SELECT → binding table, CONSTRUCT →
     triples DataFrame."""
-    head = parse_sparql(query).form
+    head = parse_sparql(query, prefixes=prefixes).form
     return (sparql_select if head == "SELECT" else sparql_construct)(
-        triples, query
+        triples, query, prefixes=prefixes
     )
 
 
