@@ -1026,6 +1026,81 @@ def q_work_extraction(spark, sf):
     return extract_works(recs, max_block=5, year_window=2)
 
 
+def q_dublettencheck(spark, sf):
+    """The reference's Dublettencheck (plans/works.py record_keys +
+    dublettencheck — its key functions gated byte-exact against the
+    checked-in records_with_keys.json in tests/test_dublettencheck.py)
+    over synthetic records from `documents` exercising the full fold
+    chain: umlauts vs transliterations, standalone und/and → '&',
+    punctuation-only title variants, abbreviated given names, and an
+    author-list divergence that splits definite from possible
+    duplicates. The oracle replays folding, keying, and both window
+    counts in SQL."""
+    from psyndex2linkeddata_spark.plans.works import dublettencheck
+
+    d = _t(spark, sf, "documents").select(F.col("doc_id").cast("long"))
+    # the reference's [^a-z&0-0] class strips digits 1-9 from keys, so
+    # block identity must ride on LETTERS: encode doc_id % 60 as a
+    # letter pair, and give every 13th record a unique letter-encoded
+    # doc_id suffix (a singleton title).
+    b = F.concat(
+        F.char((F.col("doc_id") % 60) % 26 + 97),
+        F.char(F.floor((F.col("doc_id") % 60) / 26) + 97),
+    )
+    uniq = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(
+            F.lit(" Sonderheft "),
+            F.translate(
+                F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+                "0123456789",
+                "abcdefghij",
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    m3 = F.col("doc_id") % 3
+    recs = d.select(
+        F.concat(
+            F.lit("d"), F.lpad(F.col("doc_id").cast("string"), 6, "0")
+        ).alias("DFK"),
+        F.concat(
+            F.when(m3 == 0, F.concat(F.lit("Homogenität und Ärger "), b))
+            .when(m3 == 1, F.concat(F.lit("Homogenitaet and AErger "), b))
+            .otherwise(F.concat(F.lit("Homogenität: und Ärger. "), b)),
+            uniq,
+        ).alias("mainTitle"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("Eine Maß Studie"))
+        .otherwise(F.lit(""))
+        .alias("subtitle"),
+        F.array(
+            F.struct(
+                F.when(F.col("doc_id") % 2 == 0, F.lit("Müller"))
+                .otherwise(F.lit("Mueller"))
+                .alias("familyname"),
+                F.when(F.col("doc_id") % 5 < 3, F.lit("Hans"))
+                .otherwise(F.lit("H."))
+                .alias("givenname"),
+            ),
+            F.struct(
+                F.when(F.col("doc_id") % 7 == 0, F.lit("Genkov"))
+                .otherwise(F.lit("Genkova"))
+                .alias("familyname"),
+                F.when(F.col("doc_id") % 7 < 4, F.lit("Petia"))
+                .otherwise(F.lit("Pedro"))
+                .alias("givenname"),
+            ),
+        ).alias("authors"),
+    )
+    return dublettencheck(recs).select(
+        "DFK",
+        "title_key",
+        "first_author_key",
+        "all_authors_key",
+        "n_definite",
+        "n_possible",
+    )
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible (rows-only checks)
 # --------------------------------------------------------------------------
@@ -1301,7 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (second TPC-H-style demos; lang_id_ngram vs lang_id; cdc_chunks vs
     # chunk_text; lsh_topk vs embedding/ivf_topk; strip_spans vs dup_spans;
     # repetition vs quality; fingerprints vs token_counts; snapshot_dedup
-    # vs extract_text + the dedup family). ALL 63 entries are oracled —
+    # vs extract_text + the dedup family). ALL 64 entries are oracled —
     # tools/check_oracles.py runs the full set (recorded in
     # CORRECTNESS_local_full.md each round).
     return {
@@ -1369,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "skos_hygiene": q_skos_hygiene,
         "work_extraction": q_work_extraction,
+        "dublettencheck": q_dublettencheck,
     }
 
 
@@ -3117,5 +3193,59 @@ def oracle_sql() -> dict[str, str]:
             from sized s
             left join touched t using (rec_id)
             left join cc on cc.node = s.rec_id
+        """,
+        "dublettencheck": """
+            with recs as (
+              select 'd' || lpad(cast(doc_id as varchar), 6, '0') as dfk,
+                     (case when doc_id % 3 = 0
+                          then 'Homogenität und Ärger '
+                          when doc_id % 3 = 1
+                          then 'Homogenitaet and AErger '
+                          else 'Homogenität: und Ärger. '
+                     end)
+                     || chr(97 + cast((doc_id % 60) % 26 as int))
+                     || chr(97 + cast((doc_id % 60) // 26 as int))
+                     || (case when doc_id % 13 = 0
+                          then ' Sonderheft ' || translate(
+                               lpad(cast(doc_id as varchar), 6, '0'),
+                               '0123456789', 'abcdefghij')
+                          else '' end) as main_title,
+                     case when doc_id % 2 = 0 then 'Eine Maß Studie'
+                          else '' end as subtitle,
+                     case when doc_id % 2 = 0 then 'Müller'
+                          else 'Mueller' end as fam1,
+                     case when doc_id % 5 < 3 then 'Hans' else 'H.' end as giv1,
+                     case when doc_id % 7 = 0 then 'Genkov'
+                          else 'Genkova' end as fam2,
+                     case when doc_id % 7 < 4 then 'Petia'
+                          else 'Pedro' end as giv2
+              from documents
+            ),
+            keyed as (
+              select dfk,
+                     regexp_replace(
+                       regexp_replace(
+                         replace(replace(replace(replace(
+                           lower(main_title || ' ' || subtitle),
+                           'ö', 'oe'), 'ä', 'ae'), 'ü', 'ue'), 'ß', 'ss'),
+                         '\\b(and|und)\\b', '&', 'g'),
+                       '[^a-z&0-0]', '', 'g') as title_key,
+                     replace(replace(replace(replace(
+                       lower(fam1 || substr(giv1, 1, 1)),
+                       'ö', 'oe'), 'ä', 'ae'), 'ü', 'ue'), 'ß', 'ss')
+                       as first_author_key,
+                     replace(replace(replace(replace(
+                       lower(fam1 || substr(giv1, 1, 1)
+                             || fam2 || substr(giv2, 1, 1)),
+                       'ö', 'oe'), 'ä', 'ae'), 'ü', 'ue'), 'ß', 'ss')
+                       as all_authors_key
+              from recs
+            )
+            select dfk as DFK, title_key, first_author_key, all_authors_key,
+                   count(*) over (partition by title_key, first_author_key,
+                                  all_authors_key) as n_definite,
+                   count(*) over (partition by title_key, first_author_key)
+                     as n_possible
+            from keyed
         """,
     }

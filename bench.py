@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "last_wins",
     "skos_hygiene",
     "work_extraction",
+    "dublettencheck",
 ]
 
 

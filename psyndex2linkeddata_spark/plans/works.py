@@ -45,7 +45,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from psyndex2linkeddata_spark.operators.components import connected_components
 
-__all__ = ["extract_works", "title_key"]
+__all__ = ["dublettencheck", "extract_works", "record_keys", "title_key"]
 
 
 def title_key(col: Column) -> Column:
@@ -54,6 +54,84 @@ def title_key(col: Column) -> Column:
     notebook's two 'Verteilung des Glaubens...' titles differ only in
     ':' vs '.' and must collide)."""
     return F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}]+", "")
+
+
+def _fold(col: Column) -> Column:
+    """The reference's casefold+umlaut normalization: lowercase, then
+    ö→oe ä→ae ü→ue ß→ss. (The reference casefolds BEFORE its translate
+    map, so ß reaches 'ss' via casefold and its ß map entry is dead;
+    Spark's lower() keeps ß, so the explicit replace restores the same
+    result.)"""
+    c = F.lower(col)
+    for a, b in (("ö", "oe"), ("ä", "ae"), ("ü", "ue"), ("ß", "ss")):
+        c = F.replace(c, F.lit(a), F.lit(b))
+    return c
+
+
+def _author_key(author: Column) -> Column:
+    # familyname + first letter of givenname, folded
+    return _fold(
+        F.concat(author["familyname"], F.substring(author["givenname"], 1, 1))
+    )
+
+
+def record_keys(records: DataFrame) -> DataFrame:
+    """The reference's Dublettencheck keys, verbatim (pythontests.ipynb
+    cell "generate a title key for deduplication", golden output
+    checked in as other_conversions/records_with_keys.json and gated
+    exactly in tests/test_dublettencheck.py):
+
+    - title_key over mainTitle + ' ' + subtitle: casefold, umlaut fold,
+      standalone and/und → '&', then strip everything outside
+      ``[a-z&0]`` — the reference's character class is literally
+      ``[^a-z&0-0]`` (the 0-0 range keeps only the digit 0, an
+      upstream quirk kept verbatim: keys strip digits 1-9);
+    - first_author_key / all_authors_key from familyname + first letter
+      of givenname, folded; the all-key concatenates every author's key
+      in order.
+
+    Input columns: mainTitle, subtitle (nullable), and authors as
+    array<struct<familyname:string, givenname:string>>. Adds the three
+    key columns; everything is native Column logic (lower/replace/
+    regexp_replace + array transform/aggregate)."""
+    full_title = F.concat_ws(" ", F.col("mainTitle"), F.col("subtitle"))
+    tkey = _fold(full_title)
+    tkey = F.regexp_replace(tkey, r"\b(and|und)\b", "&")
+    tkey = F.regexp_replace(tkey, "[^a-z&0-0]", "")
+    return records.withColumns(
+        {
+            "title_key": tkey,
+            "first_author_key": _author_key(F.element_at(F.col("authors"), 1)),
+            "all_authors_key": F.aggregate(
+                F.col("authors"),
+                F.lit(""),
+                lambda acc, a: F.concat(acc, _author_key(a)),
+            ),
+        }
+    )
+
+
+def dublettencheck(records: DataFrame) -> DataFrame:
+    """The reference's two-tier duplicate check (find_duplicate_dfks):
+    records sharing (title_key, first_author_key, all_authors_key) are
+    'definite' duplicates; records sharing (title_key,
+    first_author_key) are 'possible' duplicates (the superset — only
+    the full author list differs). Returns one row per record with both
+    keys' group sizes; a record is a definite/possible duplicate iff
+    the respective size > 1.
+
+    Scale: two window counts over key shuffles — the same hash keys a
+    1000-executor run would partition by; no self-join, no pair
+    explosion."""
+    keyed = record_keys(records)
+    w3 = Window.partitionBy("title_key", "first_author_key", "all_authors_key")
+    w2 = Window.partitionBy("title_key", "first_author_key")
+    return keyed.withColumns(
+        {
+            "n_definite": F.count(F.lit(1)).over(w3),
+            "n_possible": F.count(F.lit(1)).over(w2),
+        }
+    )
 
 
 def extract_works(
