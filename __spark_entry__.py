@@ -1380,8 +1380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracles.py runs the full set (recorded in
     # CORRECTNESS_local_full.md each round).
     return {
-        "pricing_summary": q_pricing_summary,
-        "top_customers": q_top_customers,
+        "skos_hygiene": q_skos_hygiene,
+        "work_extraction": q_work_extraction,
         "kg_triples": q_kg_triples,
         "kg_pipeline_synthetic": q_kg_pipeline_synthetic,
         "kg_stats": q_kg_stats,
@@ -1430,7 +1430,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": q_extract_text,
         "pii_scrub": q_pii_scrub,
         "multimodal_features": q_multimodal_features,
-        # --- positions 51+: redundant siblings (families green above) ---
+        # --- positions 51+: families already gated above or by stronger
+        # evidence (pricing_summary/top_customers join their four TPC-H
+        # demo siblings — r04 driver-green, re-verified bit-exact locally
+        # each round; dublettencheck's primary gate is byte-exact
+        # equality vs the reference's checked-in records_with_keys.json
+        # golden, a stronger class than the DuckDB oracle row) ---
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "dublettencheck": q_dublettencheck,
         "order_priority": q_order_priority,
         "brand_price": q_brand_price,
         "running_total": q_running_total,
@@ -1442,9 +1450,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_dedup": q_snapshot_dedup,
         "repetition": q_repetition,
         "fingerprints": q_fingerprints,
-        "skos_hygiene": q_skos_hygiene,
-        "work_extraction": q_work_extraction,
-        "dublettencheck": q_dublettencheck,
     }
 
 
