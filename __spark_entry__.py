@@ -3142,7 +3142,8 @@ def oracle_sql() -> dict[str, str]:
               select rec_id,
                      regexp_replace(lower(title), '[^a-z0-9]+', '', 'g') as tk,
                      regexp_replace(lower(authors), '[^a-z0-9]+', '', 'g') as ak,
-                     regexp_replace(lower(journal), '[^a-z0-9]+', '', 'g') as jk,
+                     nullif(regexp_replace(lower(journal), '[^a-z0-9]+', '',
+                            'g'), '') as jk,
                      yr, doctype,
                      case when len(trim(abstract)) > 0 then md5(abstract)
                      end as ah

@@ -53,20 +53,30 @@ def path_closure(
         triples.where(F.col("pred") == F.lit(pred))
         .select("subj", "obj")
         .where(F.col("subj").isNotNull() & F.col("obj").isNotNull())
-        .distinct()
     )
+    # no .distinct() here — edge_closure dedups the edge set itself, and
+    # two adjacent distincts would plan two back-to-back shuffles
     return edge_closure(e, max_iter=max_iter)
 
 
-def edge_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def edge_closure(
+    edges: DataFrame, max_iter: int = 20, strict: bool = False
+) -> DataFrame:
     """Transitive closure of an arbitrary ``(subj, obj)`` edge DataFrame —
     the semi-naive kernel behind :func:`path_closure`, exposed for callers
     whose edge set is not a single predicate (e.g. plans/skos.py, where
     the hierarchy is ``skos:broader`` unioned with inverted
-    ``skos:narrower``)."""
+    ``skos:narrower``).
+
+    With ``strict=False`` (the pred+ default) a graph deeper than
+    ``max_iter`` returns the truncated ≤max_iter-hop closure;
+    ``strict=True`` raises instead — callers whose SEMANTICS need the
+    full closure (the Skosify related-vs-hierarchy repair) must not
+    silently under-close."""
     e = edges.select("subj", "obj").distinct().localCheckpoint()
     closure = e
     frontier = e
+    converged = False
     for _ in range(max_iter):
         # explicit renames (not DataFrame aliases): lazy localCheckpoint
         # rewrites plan constraints, and self-join alias attributes can
@@ -85,9 +95,15 @@ def edge_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             eager=False
         )
         if new.limit(1).count() == 0:
+            converged = True
             break
         closure = closure.union(new).localCheckpoint(eager=False)
         frontier = new
+    if strict and not converged:
+        raise ValueError(
+            f"edge_closure did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter (graph deeper than the bound)"
+        )
     return closure
 
 

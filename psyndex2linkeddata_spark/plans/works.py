@@ -146,7 +146,10 @@ def extract_works(
         "rec_id",
         title_key(F.col("title")).alias("tk"),
         title_key(F.col("authors")).alias("ak"),
-        title_key(F.col("journal")).alias("jk"),
+        # empty/punctuation-only journals normalize to '' — treat as
+        # no-journal (null), matching the non-empty guard on abstracts,
+        # so two journal-less records are never 'serial' siblings
+        F.nullif(title_key(F.col("journal")), F.lit("")).alias("jk"),
         F.col("year").cast("int").alias("yr"),
         F.col("doctype"),
         F.when(

@@ -116,3 +116,17 @@ def test_empty_abstracts_are_not_merge_evidence(spark):
     # same journal + different abstracts → the serial-sibling review label
     assert got["r1"] == ("r1", 2, "serial")
     assert got["r2"] == ("r2", 2, "serial")
+
+
+def test_empty_journals_are_not_serial_evidence(spark):
+    """Journals that normalize to '' (empty, whitespace, punctuation-only)
+    are no-journal, symmetric with the abstract guard: two journal-less
+    same-block records with different abstracts stay singletons."""
+    for j in ("", "  ", "—"):
+        rows = [
+            ("r1", "Same Title", "Same Author", j, 2001, "article", "abs one"),
+            ("r2", "Same Title", "Same Author", j, 2001, "article", "abs two"),
+        ]
+        got = _run(spark, rows)
+        assert got["r1"][2] == "singleton", repr(j)
+        assert got["r2"][2] == "singleton", repr(j)
