@@ -56,14 +56,45 @@ def title_key(col: Column) -> Column:
     return F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}]+", "")
 
 
+# Python str.casefold() expansions that JVM lower() does not perform AND
+# whose loss is visible in a [a-z&0]-stripped key — the COMPLETE BMP set
+# (probed exhaustively over 0x0000-0xFFFF: for every other codepoint,
+# casefold and lower agree or differ only in characters the strip class
+# removes). Values are the exact casefold expansions, combining marks
+# included, so even regex-boundary contexts match the reference.
+_CASEFOLD_COMPAT = (
+    ("ŉ", "ʼn"),  # ŉ
+    ("ſ", "s"),        # ſ  (long s — historical German text)
+    ("ǰ", "ǰ"),  # ǰ
+    ("ẖ", "ẖ"),
+    ("ẗ", "ẗ"),
+    ("ẘ", "ẘ"),
+    ("ẙ", "ẙ"),
+    ("ẚ", "aʾ"),
+    ("ﬀ", "ff"),
+    ("ﬁ", "fi"),
+    ("ﬂ", "fl"),
+    ("ﬃ", "ffi"),
+    ("ﬄ", "ffl"),
+    ("ﬅ", "st"),
+    ("ﬆ", "st"),
+)
+
+
 def _fold(col: Column) -> Column:
-    """The reference's casefold+umlaut normalization: lowercase, then
+    """The reference's casefold+umlaut normalization: casefold, then
     ö→oe ä→ae ü→ue ß→ss. (The reference casefolds BEFORE its translate
     map, so ß reaches 'ss' via casefold and its ß map entry is dead;
     Spark's lower() keeps ß, so the explicit replace restores the same
-    result.)"""
+    result, and _CASEFOLD_COMPAT restores the remaining casefold
+    expansions lower() lacks — ligatures, long s, etc.)"""
     c = F.lower(col)
-    for a, b in (("ö", "oe"), ("ä", "ae"), ("ü", "ue"), ("ß", "ss")):
+    for a, b in _CASEFOLD_COMPAT + (
+        ("ö", "oe"),
+        ("ä", "ae"),
+        ("ü", "ue"),
+        ("ß", "ss"),
+    ):
         c = F.replace(c, F.lit(a), F.lit(b))
     return c
 
@@ -96,7 +127,10 @@ def record_keys(records: DataFrame) -> DataFrame:
     regexp_replace + array transform/aggregate)."""
     full_title = F.concat_ws(" ", F.col("mainTitle"), F.col("subtitle"))
     tkey = _fold(full_title)
-    tkey = F.regexp_replace(tkey, r"\b(and|und)\b", "&")
+    # (?U): Java's \b is ASCII-word by default while Python's re \b is
+    # Unicode-aware — without the flag, `and` adjacent to a non-ASCII
+    # letter ("andé") would be replaced here but not by the reference
+    tkey = F.regexp_replace(tkey, r"(?U)\b(and|und)\b", "&")
     tkey = F.regexp_replace(tkey, "[^a-z&0-0]", "")
     return records.withColumns(
         {

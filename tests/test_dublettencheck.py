@@ -84,6 +84,74 @@ def test_classification_matches_notebook_expectations(records):
     assert possible == definite | {"0360687", "000001"}
 
 
+def _ref_title_key(title):
+    """Pure-Python mirror of the reference's generate_title_key
+    (pythontests.ipynb), for differential testing only."""
+    import re
+
+    umlaut = {"ö": "oe", "ä": "ae", "ü": "ue", "ß": "ss"}
+    k = title.casefold().translate(str.maketrans(umlaut))
+    for w in ("and", "und"):
+        k = re.sub(r"\b%s\b" % w, "&", k)
+    return re.sub("[^a-z&0-0]", "", k)
+
+
+def _ref_author_key(given, family):
+    umlaut = {"ö": "oe", "ä": "ae", "ü": "ue", "ß": "ss"}
+    return (family + given[0]).casefold().translate(str.maketrans(umlaut))
+
+
+def test_differential_vs_reference_implementation(spark):
+    """Spark record_keys == the reference's own Python functions over a
+    seeded corpus spanning the realistic bibliographic input space:
+    German umlauts/ß, accented Latin, long s and ligatures (the complete
+    BMP set where casefold diverges from lower in-key), and/und in word
+    and substring positions incl. adjacent to non-ASCII letters (the
+    Java-vs-Python \\b trap), digits, punctuation. Combining marks only
+    precomposed — bare marks are outside the reference's input space."""
+    import random
+
+    rng = random.Random(42)
+    frags = [
+        "Werbewirkung", "Ärger", "Maß", "straße", "Müller", "Genkova",
+        "and", "und", "Sand", "Bande", "Hund", "sandig", "undicht",
+        "café", "résumé", "niño", "Façade", "ſtudie", "ﬁnal", "ﬂuss",
+        "Eﬀekt", "ﬃ", "ﬅark", "ŉ", "ǰa", "ẖa", "ẚb", "2020", "Nr. 3",
+        "I.", "—", ":", ";", "(Teil 1)", "&", "Ö", "Ü", "Ä", "ẞ",
+    ]
+    titles = [
+        " ".join(rng.choice(frags) for _ in range(rng.randint(1, 6)))
+        for _ in range(400)
+    ] + [
+        # adjacency without spaces — boundary stress
+        "".join(rng.choice(frags) for _ in range(rng.randint(2, 4)))
+        for _ in range(200)
+    ]
+    fam = ["Müller", "Mueller", "Genkova", "Straßer", "ſchmidt", "Ngẽ"]
+    giv = ["Hans", "H.", "Petia", "Änne", "Éva", "ﬁona"]
+    rows = [
+        (
+            f"d{i}",
+            t,
+            "",
+            [(rng.choice(fam), rng.choice(giv)), (rng.choice(fam), rng.choice(giv))],
+        )
+        for i, t in enumerate(titles)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["DFK"]: r for r in record_keys(df).collect()}
+    for i, t in enumerate(titles):
+        r = got[f"d{i}"]
+        authors = rows[i][3]
+        assert r["title_key"] == _ref_title_key(t + " "), repr(t)
+        assert r["first_author_key"] == _ref_author_key(
+            authors[0][1], authors[0][0]
+        ), repr(authors[0])
+        assert r["all_authors_key"] == "".join(
+            _ref_author_key(g, f) for f, g in authors
+        ), repr(authors)
+
+
 def test_digit_quirk_kept_verbatim(spark):
     """The reference's character class is [^a-z&0-0] — a 0-0 range, so
     keys keep the digit 0 and strip 1-9. Faithfully replicated."""
