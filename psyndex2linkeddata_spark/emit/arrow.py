@@ -1073,7 +1073,12 @@ def emit_affiliation(g, c_org, c_country, cnode, agent):
     if c_country is not None:
         addr = _sub(aff, "_address")
         country_node = _sub(addr, "_country")
-        geo = _GEO.get(trim(c_country).lower()) if c_country is not None else None
+        # casefold like helpers.py:380 (the map keys are casefolded)
+        geo = (
+            _GEO.get(trim(c_country).casefold())
+            if c_country is not None
+            else None
+        )
         g.add(aff, NS.MADS + "hasAffiliationAddress", addr, iri=True)
         g.add(addr, NS.RDF_TYPE, NS.MADS + "Address", iri=True)
         g.add(addr, NS.MADS + "country", country_node, iri=True)
@@ -1253,8 +1258,9 @@ def emit_genres(g, rec, W, B, annif=True):
         if uri is not None:
             g.add(uri, NS.RDF_TYPE, NS.BF + "UsePolicy", iri=True)
             g.add(B, NS.BF + "usageAndAccessPolicy", uri, iri=True)
-    # work genres (thesis detection)
-    bn = (rec.get("BN") or "").lower()
+    # work genres (thesis detection) — casefold like the reference
+    # (publication_types.py:379-391), not lower
+    bn = (rec.get("BN") or "").casefold()
     is_thesis = (
         trim(rec.get("BE") or "") == "SH"
         or trim(rec.get("DT") or "") == "61"

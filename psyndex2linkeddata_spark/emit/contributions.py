@@ -55,12 +55,18 @@ def _GEO_ID():
 
 def geonames_name(country: Column) -> Column:
     """J16 canonical name: casefold first-match
-    (/root/reference/modules/helpers.py:378-382)."""
-    return _GEO_NAME()[F.lower(F.trim(country))]
+    (/root/reference/modules/helpers.py:378-382). The map keys are
+    Python-casefolded, so the lookup side folds with casefold_compat
+    (lower alone would miss e.g. 'Rußland' → 'russland')."""
+    from psyndex2linkeddata_spark.functions.names import casefold_compat
+
+    return _GEO_NAME()[casefold_compat(F.trim(country))]
 
 
 def geonames_id(country: Column) -> Column:
-    return _GEO_ID()[F.lower(F.trim(country))]
+    from psyndex2linkeddata_spark.functions.names import casefold_compat
+
+    return _GEO_ID()[casefold_compat(F.trim(country))]
 
 
 def _affiliation_triples(c: Column, cnode: Column, agent: Column) -> Column:

@@ -100,7 +100,11 @@ def work_genres() -> Column:
     DT/DT2=61, BN 'dissertation'/'habilitation', 'kumulative' variant).
     DFK-hardcoded special cases from the reference's own corpus don't apply
     to synthetic ids and are omitted."""
-    bn = F.lower(F.coalesce(F.col("BN"), F.lit("")))
+    # the reference compares with casefold, not lower (e.g. an archaic
+    # 'Dißertation' casefolds to a 'dissertation' match)
+    from psyndex2linkeddata_spark.functions.names import casefold_compat
+
+    bn = casefold_compat(F.coalesce(F.col("BN"), F.lit("")))
     is_thesis = (
         (F.trim(F.coalesce(F.col("BE"), F.lit(""))) == "SH")
         | (F.trim(F.coalesce(F.col("DT"), F.lit(""))) == "61")

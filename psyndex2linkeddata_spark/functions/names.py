@@ -77,3 +77,27 @@ def normalize_name(family: Column, given: Column) -> Column:
 def casefold_key(col: Column) -> Column:
     """Join key used for the geonames case-insensitive first-match lookup."""
     return F.lower(F.trim(col))
+
+
+# Python str.casefold() expansions JVM lower() lacks, restricted to the
+# Latin-script set that can appear in this pipeline's German/English
+# data (ß plus the 15 BMP chars whose casefold maps into a-z: the
+# ligatures ff/fi/fl/ffi/ffl/st, long s, and the precomposed-with-mark
+# set — derived from casefold itself so the expansions are exact).
+# Non-Latin casefold differences (Greek final sigma, Armenian
+# ligatures, …) are outside the reference's input domain.
+_CASEFOLD_COMPAT = tuple(
+    (c, c.casefold()) for c in "ßŉſǰẖẗẘẙẚﬀﬁﬂﬃﬄﬅﬆ"
+)
+
+
+def casefold_compat(col: Column) -> Column:
+    """JVM equivalent of Python ``str.casefold()`` over Latin-script
+    text — the reference compares with casefold (helpers.py:380,
+    publication_types.py:379-391), and ``F.lower`` alone keeps ß and
+    ligatures that casefold expands (``'Rußland'.casefold()`` is
+    ``'russland'``)."""
+    c = F.lower(col)
+    for a, b in _CASEFOLD_COMPAT:
+        c = F.replace(c, F.lit(a), F.lit(b))
+    return c

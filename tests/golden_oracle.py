@@ -559,7 +559,7 @@ def emit_affiliation(g, cnode, agent, org, country):
         cn = addr + "_country"
         g.add(addr, NS.MADS + "country", cn, iri=True)
         g.add(cn, NS.RDF_TYPE, NS.MADS + "Country", iri=True)
-        geo = GEO.get(country.strip().lower())
+        geo = GEO.get(country.strip().casefold())  # reference uses casefold
         g.add(cn, NS.RDFS_LABEL, geo[0] if geo else country)
         if geo:
             gn = cn + "_geonamesid"
@@ -735,7 +735,7 @@ def emit_genres(g, rec, W, B):
             g.add(uri, NS.RDF_TYPE, NS.BF + "UsePolicy", iri=True)
             g.add(B, NS.BF + "usageAndAccessPolicy", uri, iri=True)
     # thesis genres
-    bn = (rec.get("BN") or "").lower()
+    bn = (rec.get("BN") or "").casefold()  # reference uses casefold
     is_thesis = (
         (rec.get("BE") or "").strip() == "SH"
         or (rec.get("DT") or "").strip() == "61"

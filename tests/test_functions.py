@@ -447,3 +447,53 @@ def test_parse_page_text_partition_equals_regex():
     texts = [r["text"] for r in pages_rows_from_records(make_records(200))]
     for t in texts + [adversarial, None, ""]:
         assert parse_page_text(t) == parse_regex(t), t
+
+
+def test_casefold_compat_matches_python_casefold(spark):
+    """names.casefold_compat == str.casefold over the Latin input space
+    the pipeline sees: ß, the 15 ligature/long-s/precomposed chars, and
+    ordinary German text. The reference compares with casefold
+    (helpers.py:380, publication_types.py:379-391); JVM lower() alone
+    keeps ß and ligatures."""
+    samples = [
+        "Rußland", "Dißertation", "Habilſchrift", "Eﬀekt", "ﬁnal",
+        "GROSSES ẞ", "Weißrußland", "Gießen", "plain ascii", "ǰẖẗẚ",
+        "Ärger ÖL Übung",  # umlauts casefold to themselves (no ae here)
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [
+        r["k"]
+        for r in df.select(names.casefold_compat(F.col("s")).alias("k"))
+        .collect()
+    ]
+    assert got == [s.casefold() for s in samples]
+
+
+def test_geonames_and_thesis_gate_use_casefold(spark):
+    """'Rußland' resolves through the geonames map (keys are Python-
+    casefolded) and an archaic 'Dißertation' BN gates ThesisDoctoral —
+    both mirror the reference's casefold comparisons."""
+    from psyndex2linkeddata_spark.data.tables import geonames_countries
+    from psyndex2linkeddata_spark.emit.contributions import geonames_name
+    from psyndex2linkeddata_spark.emit.genres import work_genres
+
+    has_russland = any(
+        n.casefold() == "russland" for n, _, _ in geonames_countries
+    )
+    if has_russland:
+        df = spark.createDataFrame([("Rußland",)], "c string")
+        got = df.select(geonames_name(F.col("c")).alias("n")).collect()
+        assert got[0]["n"] is not None
+    df = spark.createDataFrame(
+        [
+            Row(
+                work="w:1",
+                BE="",
+                DT="01",
+                DT2="",
+                BN="Als Dißertation angenommen",
+            )
+        ]
+    )
+    genres = df.select(work_genres().alias("g")).collect()[0]["g"]
+    assert "ThesisDoctoral" in str(genres)
