@@ -144,3 +144,38 @@ def test_query_job_cli(spark, tmp_path_factory):
     main(["--triples", tpath, "--query-file", qf, "--out", out])
     got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert got == [("w1", "de"), ("w2", "en")]
+
+
+def test_skosify_job_cli(spark, tmp_path_factory):
+    """jobs/skosify.py: vocabulary TTL in → repaired single-file TTL out
+    (the CLI surface replacing the reference workflow's external
+    `skosify` call). The full-size gate is tests/test_skosify_refexec
+    (exact vs the reference's checked-in run); here a small vocab
+    proves the CLI contract: one plain file, related conflict removed,
+    loose concept marked."""
+    from psyndex2linkeddata_spark.jobs.skosify import main
+    from psyndex2linkeddata_spark.plans.skos import SKOS
+    from psyndex2linkeddata_spark.sources.turtle import parse_turtle
+
+    d = tmp_path_factory.mktemp("skosify_job")
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    src = d / "vocab.ttl"
+    src.write_text(
+        "@prefix skos: <http://www.w3.org/2004/02/skos/core#> .\n"
+        "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n"
+        "<v:S> rdf:type skos:ConceptScheme .\n"
+        "<v:a> rdf:type skos:Concept ; skos:inScheme <v:S> .\n"
+        "<v:b> rdf:type skos:Concept ; skos:inScheme <v:S> ;\n"
+        "      skos:broader <v:a> ; skos:related <v:a> .\n"
+        "<v:a> skos:related <v:b> .\n",
+        encoding="utf-8",
+    )
+    out = d / "out.ttl"
+    main(["--in", str(src), "--out", str(out)])
+    assert out.is_file()
+    got = set(parse_turtle(out.read_text(encoding="utf-8")))
+    assert ("v:a", SKOS + "related", "v:b", True, None, None) not in got
+    assert ("v:b", SKOS + "related", "v:a", True, None, None) not in got
+    assert ("v:a", SKOS + "topConceptOf", "v:S", True, None, None) in got
+    assert ("v:S", SKOS + "hasTopConcept", "v:a", True, None, None) in got
+    assert ("v:b", SKOS + "broader", "v:a", True, None, None) in got
