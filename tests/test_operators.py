@@ -1721,6 +1721,32 @@ def test_path_closure_and_bgp_property_path(spark):
     ]
 
 
+def test_edge_closure_doubling_deep_chain(spark):
+    """The doubling kernel closes a depth-300 chain within ~log2(300)+1
+    rounds: max_iter=12 must CONVERGE (strict raises otherwise) and the
+    pair set is complete — a one-hop-per-round semi-naive loop would
+    need 300 rounds. Also pins the strict non-convergence error for a
+    bound that genuinely is too small."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from psyndex2linkeddata_spark.plans.query import edge_closure
+
+    depth = 300
+    chain = spark.range(depth).select(
+        F.col("id").cast("string").alias("subj"),
+        (F.col("id") + 1).cast("string").alias("obj"),
+    )
+    closed = edge_closure(chain, max_iter=12, strict=True)
+    assert closed.count() == depth * (depth + 1) // 2
+    # spot-check the longest path closed
+    assert closed.where(
+        (F.col("subj") == "0") & (F.col("obj") == str(depth))
+    ).count() == 1
+    with _pytest.raises(ValueError, match="did not converge"):
+        edge_closure(chain, max_iter=3, strict=True).count()
+
+
 def test_bgp_optional(spark):
     """OPTIONAL group semantics: left-join on shared vars, null for
     non-matching solutions, unanchored groups rejected."""
