@@ -26,8 +26,13 @@ _LINE_RE = r"^([A-Z][A-Z0-9]*) (.*)$"
 
 
 def _entries(text_col: Column) -> Column:
-    """split lines → array<struct<tag,value>> (computed once per row)."""
-    lines = F.split(text_col, "\n")
+    """split lines → array<struct<tag,value>> (computed once per row).
+
+    \r\n is normalized to \n first (same spot as the Arrow twin's
+    parse_page_text): web-page payloads carry CRLF, and a \r left on a
+    value would sit exactly where Spark's trim (0x20 only) and the
+    reference's str.strip() disagree."""
+    lines = F.split(F.replace(text_col, F.lit("\r\n"), F.lit("\n")), "\n")
     return F.transform(
         lines,
         lambda l: F.struct(

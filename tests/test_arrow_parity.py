@@ -93,3 +93,21 @@ def test_arrow_matches_columns_with_authorities(spark, pages_subset, authorities
     a = _tset(build_triples(pages_subset, authorities, emit_mode="arrow"))
     c = _tset(build_triples(pages_subset, authorities, emit_mode="columns"))
     assert a == c, _diff_msg(a, c)
+
+
+def test_crlf_pages_match_lf_pages_both_paths(spark, pages_subset):
+    """CRLF payloads (the Common-Crawl-reality line ending) must emit the
+    SAME triples as their LF twins on BOTH emit paths: values ending in
+    \\r would sit exactly where Spark's trim (0x20 only) and the
+    reference's str.strip() disagree, so the parsers normalize \\r\\n
+    before splitting. Without that normalization the column path leaks
+    \\r into every scalar value (F.trim keeps it) and the two paths
+    diverge from each other AND from the reference."""
+    crlf = pages_subset.withColumn(
+        "text", F.replace(F.col("text"), F.lit("\n"), F.lit("\r\n"))
+    )
+    lf_arrow = _tset(build_triples(pages_subset, emit_mode="arrow"))
+    crlf_arrow = _tset(build_triples(crlf, emit_mode="arrow"))
+    assert crlf_arrow == lf_arrow, _diff_msg(crlf_arrow, lf_arrow)
+    crlf_columns = _tset(build_triples(crlf, emit_mode="columns"))
+    assert crlf_columns == lf_arrow, _diff_msg(crlf_columns, lf_arrow)
