@@ -497,3 +497,61 @@ def test_geonames_and_thesis_gate_use_casefold(spark):
     )
     genres = df.select(work_genres().alias("g")).collect()[0]["g"]
     assert "ThesisDoctoral" in str(genres)
+
+
+def test_twin_primitives_fuzz_parity(spark):
+    """Seeded adversarial fuzz: the Arrow emit kernel's string primitives
+    (emit/arrow.py trim/collapse/clean_text/mainfield/subfield) must
+    equal the Column expressions (functions/cleaning.py) cell-for-cell
+    over composed nasty strings — DD markers (whole and truncated),
+    entities (known, unknown, nested '&amp;ouml;'), pipe runs, subfield
+    markers, multi-space runs, unicode spaces (\xa0,  ), umlauts
+    and astral chars. The fuzz alphabet excludes C0 controls: boundary
+    control chars are the one documented divergence between Spark's trim
+    (0x20 only) and the kernel's <=0x20 strip, normalized out of real
+    input at the page parser (see the _TRIM note in emit/arrow.py and
+    test_crlf_pages_match_lf_pages_both_paths)."""
+    import random
+
+    from psyndex2linkeddata_spark.emit import arrow as ak
+
+    rng = random.Random(42)
+    dd_raws = [dd_codes[i][0] for i in range(0, len(dd_codes), 11)]
+    pieces = (
+        ["|a", "|b", "|u", "|x", "|", "||", " |a", "|a ", "x|y"]
+        + dd_raws
+        + ["^", "^D", "\x9a", "&amp;", "&ouml;", "&#x27;", "&nosuch;", "&", "&&amp;"]
+        + ["  ", "   ", " ", "\xa0", " ", "…", "ä", "ß", "é", "😀"]
+        + ["Zürich", "10.1016/j.x", "word", "UND", "x"]
+    )
+    strings = []
+    for _ in range(600):
+        n = rng.randint(0, 10)
+        strings.append("".join(rng.choice(pieces) for _ in range(n)))
+    strings += ["", " ", "   ", "|a", "&amp;ouml;", "^DD", None]
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i long, s string")
+    sel = df.select(
+        "i",
+        F.trim("s").alias("t"),
+        cleaning.collapse_spaces(F.col("s")).alias("c"),
+        cleaning.clean_text(F.col("s")).alias("cl"),
+        cleaning.get_mainfield(F.col("s"), clean=False).alias("m"),
+        *[
+            cleaning.get_subfield(F.col("s"), nm, clean=False).alias(f"s_{nm}")
+            for nm in ("a", "b", "u", "x")
+        ],
+    )
+    got = {r["i"]: r for r in sel.collect()}
+    for i, s in enumerate(strings):
+        r = got[i]
+        if s is None:
+            want_t = None
+        else:
+            want_t = s.strip(" ")  # domain is C0-free: trims agree on ' '
+        assert r["t"] == want_t, f"trim {s!r}"
+        assert r["c"] == ak.collapse(s), f"collapse {s!r}"
+        assert r["cl"] == ak.clean_text(s), f"clean_text {s!r}"
+        assert r["m"] == ak.mainfield(s), f"mainfield {s!r}"
+        for nm in ("a", "b", "u", "x"):
+            assert r[f"s_{nm}"] == ak.subfield(s, nm), f"subfield |{nm} {s!r}"
