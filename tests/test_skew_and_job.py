@@ -179,3 +179,65 @@ def test_skosify_job_cli(spark, tmp_path_factory):
     assert ("v:a", SKOS + "topConceptOf", "v:S", True, None, None) in got
     assert ("v:S", SKOS + "hasTopConcept", "v:a", True, None, None) in got
     assert ("v:b", SKOS + "broader", "v:a", True, None, None) in got
+
+
+def test_spark_submit_pyfiles_smoke(spark, tmp_path_factory):
+    """The north-rule deployment shape, for real: package the engine as
+    a zip, hand it to an actual `spark-submit --py-files` subprocess
+    running jobs/convert.py in its own JVM (no PYTHONPATH leakage), and
+    check the triples written by the checkpointed job match an in-process
+    build_triples run over the same pages — proving the package is
+    self-contained under the cluster submission path, not just
+    importable from the repo checkout."""
+    import shutil
+    import subprocess
+    import zipfile
+
+    from psyndex2linkeddata_spark.datagen.pages import write_pages_parquet
+    from psyndex2linkeddata_spark.plans.pipeline import build_triples
+
+    submit = shutil.which("spark-submit")
+    if submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    base = str(tmp_path_factory.mktemp("submitjob"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "psyndex2linkeddata_spark")
+    zpath = os.path.join(base, "engine.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                z.write(full, os.path.relpath(full, repo))
+    job = os.path.join(base, "convert_job.py")
+    shutil.copy(os.path.join(pkg, "jobs", "convert.py"), job)
+
+    pages_path = os.path.join(base, "pages.parquet")
+    write_pages_parquet(pages_path, 20)
+    out = os.path.join(base, "out")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    res = subprocess.run(
+        [
+            submit, "--master", "local[2]", "--py-files", zpath, job,
+            "--pages", pages_path, "--out", out,
+            "--ckpt", os.path.join(base, "ckpt"),
+            "--buckets", "2", "--per-commit", "2",
+        ],
+        capture_output=True, text=True, timeout=480, env=env, cwd=base,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    got = {
+        (r.subj, r.pred, r.obj, r.obj_is_iri, r.lang, r.dtype)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        tuple(r)
+        for r in build_triples(spark.read.parquet(pages_path))
+        .select("subj", "pred", "obj", "obj_is_iri", "lang", "dtype")
+        .collect()
+    }
+    assert got == want
