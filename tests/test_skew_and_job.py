@@ -241,3 +241,49 @@ def test_spark_submit_pyfiles_smoke(spark, tmp_path_factory):
         .collect()
     }
     assert got == want
+
+
+def test_ror_enrich_job_cli(spark, tmp_path_factory):
+    """jobs/ror_enrich.py: the offline replacement for the reference's
+    norminstitute_ror_to_csv.py (CSV + per-row ROR-API lookups → CSV
+    with ror_id/ror_name). Exercises its kept semantics: F1 cleaning
+    before matching (a ^DD-encoded umlaut resolves against the clean
+    authority name), Cluster-first then ##-alternative fallback in
+    order, quote-stripped alternatives, no-hit rows with empty ror
+    columns, Land str.capitalize()."""
+    import csv as csvmod
+
+    from psyndex2linkeddata_spark.jobs.ror_enrich import main
+
+    d = tmp_path_factory.mktemp("rorjob")
+    src = d / "clusters.csv"
+    with open(src, "w", newline="", encoding="utf-8") as f:
+        w = csvmod.writer(f)
+        w.writerow(["UUID", "Cluster", "Vorkommende Namen", "Land"])
+        # exact hit on the Cluster name itself, after ^DD cleaning
+        w.writerow(["u1", 'Universit^D$eat Trier', '"Uni Trier"', "GERMANY"])
+        # Cluster misses; the SECOND alternative resolves (first-hit-wins
+        # order), quotes stripped
+        w.writerow([
+            "u2", "Unknown Cluster Name",
+            '"No Such Institute" ## "Centre Hospitalier"', "LUXEMBOURG",
+        ])
+        # nothing resolves
+        w.writerow(["u3", "Completely Unlinked", '"Still Unlinked"', "FRANCE"])
+    auth = d / "authority.csv"
+    with open(auth, "w", newline="", encoding="utf-8") as f:
+        w = csvmod.writer(f)
+        w.writerow(["name", "ror_id", "ror_name"])
+        w.writerow(["Universität Trier", "https://ror.org/02778hg05", "Universität Trier"])
+        w.writerow(["Centre Hospitalier", "https://ror.org/01abcde00", "Centre Hospitalier de Luxembourg"])
+    out = d / "enriched.csv"
+    main(["--in", str(src), "--authority", str(auth), "--out", str(out)])
+    with open(out, newline="", encoding="utf-8") as f:
+        rows = {r["UUID"]: r for r in csvmod.DictReader(f)}
+    assert rows["u1"]["ror_id"] == "https://ror.org/02778hg05"
+    assert rows["u1"]["Cluster"] == "Universität Trier"  # cleaned in output
+    assert rows["u1"]["Land"] == "Germany"
+    assert rows["u2"]["ror_id"] == "https://ror.org/01abcde00"
+    assert rows["u2"]["ror_name"] == "Centre Hospitalier de Luxembourg"
+    assert rows["u3"]["ror_id"] == ""
+    assert rows["u3"]["Land"] == "France"
