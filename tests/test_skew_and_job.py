@@ -287,3 +287,63 @@ def test_ror_enrich_job_cli(spark, tmp_path_factory):
     assert rows["u2"]["ror_name"] == "Centre Hospitalier de Luxembourg"
     assert rows["u3"]["ror_id"] == ""
     assert rows["u3"]["Land"] == "France"
+
+
+def test_org_authority_job_cli(spark, tmp_path_factory):
+    """jobs/org_authority.py: the norminstitute notebook's org-graph
+    emitter (CSV → schema:Organization triples + TTL), checked against a
+    row-at-a-time Python oracle replaying the notebook loop (rdflib g.add
+    sequence, ' ## ' split, prefname-only sameAs lookup with a dict
+    standing in for the ROR API)."""
+    import csv as csvmod
+
+    from psyndex2linkeddata_spark import namespaces as NS
+    from psyndex2linkeddata_spark.jobs.org_authority import ORGS_NS, main
+    from psyndex2linkeddata_spark.sources.turtle import parse_turtle
+
+    d = tmp_path_factory.mktemp("orgjob")
+    rows = [
+        ("11111111-aaaa", "University of Luxembourg",
+         "Uni Lux ## Université du Luxembourg", "LUXEMBOURG"),
+        ("22222222-bbbb", "Unlinked Institute", "", "GERMANY"),
+    ]
+    src = d / "institute.csv"
+    with open(src, "w", newline="", encoding="utf-8") as f:
+        w = csvmod.writer(f)
+        w.writerow(["uuid", "prefname", "known_names", "country"])
+        w.writerows(rows)
+    auth = d / "authority.csv"
+    ror = {"University of Luxembourg": "https://ror.org/036x5ad56"}
+    with open(auth, "w", newline="", encoding="utf-8") as f:
+        w = csvmod.writer(f)
+        w.writerow(["name", "ror_id"])
+        for n, r in ror.items():
+            w.writerow([n, r])
+    out = str(d / "triples")
+    ttl = str(d / "orgs.ttl")
+    main(["--in", str(src), "--authority", str(auth), "--out", out, "--ttl", ttl])
+
+    got = {
+        (r.subj, r.pred, r.obj, r.obj_is_iri)
+        for r in spark.read.parquet(out).collect()
+    }
+    # the notebook loop, row at a time
+    want = set()
+    for uuid, pref, known, country in rows:
+        node = ORGS_NS + uuid
+        want.add((node, NS.RDF_TYPE, NS.SCHEMA + "Organization", True))
+        want.add((node, NS.SCHEMA + "name", pref, False))
+        if pref in ror:
+            want.add((node, NS.SCHEMA + "sameAs", ror[pref], True))
+        for nm in known.split(" ## "):
+            if nm:
+                want.add((node, NS.SCHEMA + "alternateName", nm, False))
+        want.add((node, NS.SCHEMA + "location", country, False))
+    assert got == want
+    ttl_set = {
+        (s, p, o, iri)
+        for s, p, o, iri, _lang, _dt in parse_turtle(
+            open(ttl, encoding="utf-8").read()
+        )
+    }
+    assert ttl_set == want
