@@ -1886,13 +1886,16 @@ def parse_page_text(text: str) -> dict:
     rec: dict = {}
     if text is None:
         return rec
-    # CRLF-normalize before the line split: Common-Crawl-style payloads
-    # carry \r\n, and a value ending in \r would hit the one boundary
-    # where the two engines' trims disagree (Python str.strip() removes
-    # \r, Spark's trim only removes 0x20). Normalizing here keeps both
-    # emit paths identical on CRLF input (test_arrow_parity).
+    # Universal-newline normalize before the line split (\r\n and lone
+    # \r → \n): Common-Crawl-style payloads carry CRLF, and a \r left on
+    # a value would hit the one boundary where the two engines' trims
+    # disagree (Python str.strip() removes \r, Spark's trim only 0x20);
+    # a BARE \r mid-line would additionally split the two paths at the
+    # regex level (Java's '.' excludes \r, Python's partition keeps it).
+    # Treating every \r as a line break keeps both emit paths identical
+    # on any line-ending convention (test_arrow_parity CRLF/CR tests).
     if "\r" in text:
-        text = text.replace("\r\n", "\n")
+        text = text.replace("\r\n", "\n").replace("\r", "\n")
     for line in clean_text(text).split("\n"):
         tag, sep, value = line.partition(" ")
         if not sep:

@@ -28,11 +28,16 @@ _LINE_RE = r"^([A-Z][A-Z0-9]*) (.*)$"
 def _entries(text_col: Column) -> Column:
     """split lines → array<struct<tag,value>> (computed once per row).
 
-    \r\n is normalized to \n first (same spot as the Arrow twin's
-    parse_page_text): web-page payloads carry CRLF, and a \r left on a
-    value would sit exactly where Spark's trim (0x20 only) and the
-    reference's str.strip() disagree."""
-    lines = F.split(F.replace(text_col, F.lit("\r\n"), F.lit("\n")), "\n")
+    Universal-newline normalization first (\r\n and lone \r → \n, same
+    spot as the Arrow twin's parse_page_text): web-page payloads carry
+    CRLF, a \r left on a value would sit exactly where Spark's trim
+    (0x20 only) and the reference's str.strip() disagree, and a bare \r
+    mid-line would make the _LINE_RE extraction (Java '.' excludes \r)
+    drop the field while the twin keeps it."""
+    normalized = F.replace(
+        F.replace(text_col, F.lit("\r\n"), F.lit("\n")), F.lit("\r"), F.lit("\n")
+    )
+    lines = F.split(normalized, "\n")
     return F.transform(
         lines,
         lambda l: F.struct(

@@ -65,7 +65,9 @@ def org_authority_triples(
         ),
         F.transform(alts, lambda nm: t(node, NS.SCHEMA + "alternateName", nm, False)),
     )
-    base = orgs.select(F.explode(arr).alias("_t")).select("_t.*")
+    # rdflib's Graph has set semantics (g.add of a repeated alternate
+    # name is a no-op); mirror that here — and below for the sameAs union
+    base = orgs.select(F.explode(arr).alias("_t")).select("_t.*").dropDuplicates()
 
     if authority is None:
         return base
@@ -87,12 +89,16 @@ def org_authority_triples(
         F.lit(None).cast("string").alias("lang"),
         F.lit(None).cast("string").alias("dtype"),
     )
-    return base.unionByName(same_as)
+    return base.unionByName(same_as).dropDuplicates()
 
 
 def main(argv=None) -> None:
     from psyndex2linkeddata_spark.session import get_spark
-    from psyndex2linkeddata_spark.sources.export import write_turtle
+    from psyndex2linkeddata_spark.sources.export import (
+        move_single_part,
+        read_table_auto,
+        write_turtle,
+    )
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--in", dest="inp", required=True,
@@ -107,20 +113,14 @@ def main(argv=None) -> None:
 
     spark = get_spark(app_name="org_authority", master=args.master)
     orgs = spark.read.csv(args.inp, header=True, quote='"', escape='"')
-    authority = None
-    if args.authority:
-        authority = (
-            spark.read.csv(args.authority, header=True)
-            if args.authority.endswith(".csv")
-            else spark.read.parquet(args.authority)
-        )
+    authority = (
+        read_table_auto(spark, args.authority) if args.authority else None
+    )
     triples = org_authority_triples(orgs, authority, threshold=args.threshold)
     triples.write.mode("overwrite").parquet(args.out)
     if args.ttl:
         # the Turtle sink writes a Spark directory; the notebook contract
         # (g.serialize(destination=...)) is one plain .ttl file
-        import glob
-        import shutil
         import tempfile
 
         staged = tempfile.mkdtemp(prefix="org_ttl_")
@@ -129,9 +129,7 @@ def main(argv=None) -> None:
             os.path.join(staged, "ttl"),
             single_file=True,
         )
-        part = glob.glob(os.path.join(staged, "ttl", "part-*"))[0]
-        shutil.move(part, args.ttl)
-        shutil.rmtree(staged, ignore_errors=True)
+        move_single_part(staged, args.ttl, pattern=os.path.join("ttl", "part-*"))
     print(f"wrote {args.out}")
 
 

@@ -20,9 +20,11 @@ COVERAGE.md J8) becomes a broadcast authority table joined through the
 engine's tiered linker (operators/linking.link_tiered: exact →
 replace-list → MinHash-LSH fuzzy), and every candidate name across the
 whole file is scored in one job instead of one HTTP call per name. The
-API call's country-suffix bias ("name + ' ' + Land") becomes an
-optional exact country filter when the authority table carries a
-``country`` column. Surrounding double quotes on the ``##`` alternatives
+API call's country-suffix bias ("name + ' ' + Land") becomes a first
+linking pass whose match key includes the country (when the authority
+table carries a ``country`` column), with a name-only pass as the
+unbiased fallback — a bias, not a hard filter, deterministic per key.
+Surrounding double quotes on the ``##`` alternatives
 (an artifact of the source CSV's nested quoting, which the reference
 ships verbatim into the API query string) are stripped before matching.
 
@@ -41,9 +43,7 @@ distributed part).
 from __future__ import annotations
 
 import argparse
-import glob
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import functions as F
@@ -82,28 +82,59 @@ def enrich_clusters(clusters, authority, threshold: float = 0.5):
     )
 
     auth_cols = ["ror_id", "ror_name"]
-    linked = link_tiered(
-        cands, authority, mention_key="cand", auth_key="name",
-        auth_cols=auth_cols, threshold=threshold,
-    )
+    # deterministic same-name tie-break BEFORE the linker (link_exact's
+    # internal dropDuplicates on the normalized key is partition-order
+    # dependent): smallest (ror_id, ror_name) wins per key
+    def dedup_auth(a, keycols):
+        return a.groupBy(*keycols).agg(
+            F.min(F.struct(*auth_cols)).alias("_m")
+        ).select(*keycols, F.col("_m.ror_id"), F.col("_m.ror_name"))
+
     if "country" in authority.columns:
-        # the reference biases the API query with the country name; the
-        # offline equivalent rejects cross-country matches outright
-        linked = linked.join(
-            F.broadcast(authority.select("ror_id", "country").distinct()),
-            "ror_id",
-            "left",
-        ).where(
-            F.col("country").isNull()
-            | (F.upper(F.col("country")) == F.upper(F.col("Land")))
-        ).drop("country")
+        # the reference biases the API query string with the country
+        # ("name + ' ' + Land"); offline, the bias is a first pass whose
+        # match key INCLUDES the country (exact tier: same name + same
+        # country; fuzzy tier: country tokens in the similarity, exactly
+        # like the API query string), with a name-only pass as the
+        # unbiased fallback — country never hard-rejects (the API can
+        # return cross-country chosen matches too), and null-Land rows
+        # simply skip the biased pass.
+        auth_cc = dedup_auth(
+            authority.where(F.col("country").isNotNull()), ["name", "country"]
+        ).withColumn(
+            "_namec", F.concat_ws(" ", F.col("name"), F.upper(F.col("country")))
+        )
+        m1 = cands.where(F.col("Land").isNotNull()).withColumn(
+            "_candc", F.concat_ws(" ", F.col("cand"), F.upper(F.col("Land")))
+        )
+        r1 = link_tiered(
+            m1, auth_cc, mention_key="_candc", auth_key="_namec",
+            auth_cols=auth_cols, threshold=threshold,
+        ).drop("_candc")
+        hit1 = r1.where(F.col("ror_id").isNotNull())
+        rest = cands.join(
+            hit1.select("UUID", "cand"), ["UUID", "cand"], "left_anti"
+        )
+        r2 = link_tiered(
+            rest, dedup_auth(authority, ["name"]), mention_key="cand",
+            auth_key="name", auth_cols=auth_cols, threshold=threshold,
+        )
+        # biased hits outrank fallback hits for the same candidate name
+        linked = hit1.withColumn("_pass", F.lit(0)).unionByName(
+            r2.select(*hit1.columns).withColumn("_pass", F.lit(1))
+        )
+    else:
+        linked = link_tiered(
+            cands, dedup_auth(authority, ["name"]), mention_key="cand",
+            auth_key="name", auth_cols=auth_cols, threshold=threshold,
+        ).withColumn("_pass", F.lit(0))
 
     best = (
         linked.where(F.col("ror_id").isNotNull())
         .groupBy("UUID")
         .agg(
             F.min_by(
-                F.struct("ror_id", "ror_name"), F.struct("pos", "cand")
+                F.struct("ror_id", "ror_name"), F.struct("pos", "_pass", "cand")
             ).alias("_hit")
         )
         .select("UUID", F.col("_hit.ror_id"), F.col("_hit.ror_name"))
@@ -112,21 +143,24 @@ def enrich_clusters(clusters, authority, threshold: float = 0.5):
         F.upper(F.substring(F.col("Land"), 1, 1)),
         F.lower(F.substring(F.col("Land"), 2, 2_000_000)),
     )
-    return (
-        cleaned.join(best, "UUID", "left")
-        .select(
-            "UUID",
-            "Cluster",
-            "Vorkommende Namen",
-            land_cap.alias("Land"),
-            "ror_id",
-            "ror_name",
-        )
+    # all input columns survive (the script this replaces copies the row
+    # and appends two columns); Cluster / Vorkommende Namen are the
+    # cleaned versions, Land is capitalized, ror_id/ror_name appended
+    passthrough = [
+        land_cap.alias("Land") if c == "Land" else F.col(c)
+        for c in clusters.columns
+    ]
+    return cleaned.join(best, "UUID", "left").select(
+        *passthrough, "ror_id", "ror_name"
     )
 
 
 def main(argv=None) -> None:
     from psyndex2linkeddata_spark.session import get_spark
+    from psyndex2linkeddata_spark.sources.export import (
+        move_single_part,
+        read_table_auto,
+    )
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--in", dest="inp", required=True, help="cluster CSV")
@@ -141,10 +175,7 @@ def main(argv=None) -> None:
 
     spark = get_spark(app_name="ror_enrich", master=args.master)
     clusters = spark.read.csv(args.inp, header=True, quote='"', escape='"')
-    if args.authority.endswith(".csv"):
-        authority = spark.read.csv(args.authority, header=True)
-    else:
-        authority = spark.read.parquet(args.authority)
+    authority = read_table_auto(spark, args.authority)
 
     out = args.out or (args.inp.rsplit(".", 1)[0] + "_with_ror.csv")
     result = enrich_clusters(clusters, authority, threshold=args.threshold)
@@ -152,10 +183,10 @@ def main(argv=None) -> None:
     # sized); the Spark csv sink writes a directory, so stage + move
     tmp = tempfile.mkdtemp(prefix="ror_enrich_")
     staged = os.path.join(tmp, "out")
-    result.coalesce(1).write.csv(staged, header=True, quote='"', escape='"', mode="overwrite")
-    part = glob.glob(os.path.join(staged, "part-*.csv"))[0]
-    shutil.move(part, out)
-    shutil.rmtree(tmp, ignore_errors=True)
+    result.coalesce(1).write.csv(
+        staged, header=True, quote='"', escape='"', mode="overwrite"
+    )
+    move_single_part(tmp, out, pattern=os.path.join("out", "part-*.csv"))
     print(f"wrote {out}")
 
 

@@ -56,15 +56,13 @@ def main(argv=None) -> None:
     else:
         # the Spark text sink writes a directory; the CLI contract (like
         # the skosify tool it replaces) is one plain .ttl file
-        import glob
-        import shutil
         import tempfile
+
+        from psyndex2linkeddata_spark.sources.export import move_single_part
 
         d = tempfile.mkdtemp(prefix="skosify_out_")
         write_turtle(repaired, d, single_file=True)
-        (part,) = glob.glob(f"{d}/part-*")
-        shutil.move(part, args.out)
-        shutil.rmtree(d, ignore_errors=True)
+        move_single_part(d, args.out)
     n_in, n_out = vocab.count(), repaired.count()
     print(f"skosify: {n_in} -> {n_out} triples -> {args.out}")
 

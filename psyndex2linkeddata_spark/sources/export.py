@@ -331,3 +331,31 @@ def parse_jsonld(text: str) -> list[tuple]:
                         )
                     )
     return out
+
+
+def move_single_part(staged_dir: str, dest: str, pattern: str = "part-*") -> None:
+    """Deliver a coalesce(1) Spark sink's single part file as the plain
+    file `dest` — the CLI contract of the single-file tools the jobs
+    replace (skosify, csv.DictWriter, g.serialize). Raises if the staged
+    directory does not hold exactly one part file; the staging dir is
+    removed afterwards."""
+    import glob
+    import os
+    import shutil
+
+    parts = glob.glob(os.path.join(staged_dir, pattern))
+    if len(parts) != 1:
+        raise RuntimeError(
+            f"expected exactly one part file in {staged_dir}, found {len(parts)}"
+        )
+    shutil.move(parts[0], dest)
+    shutil.rmtree(staged_dir, ignore_errors=True)
+
+
+def read_table_auto(spark, path: str, **csv_opts) -> DataFrame:
+    """Read a small dimension table: CSV (with header) when the path ends
+    in .csv, parquet otherwise — the authority-input convention shared by
+    the enrichment jobs."""
+    if path.endswith(".csv"):
+        return spark.read.csv(path, header=True, **csv_opts)
+    return spark.read.parquet(path)

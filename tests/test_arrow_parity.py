@@ -103,11 +103,14 @@ def test_crlf_pages_match_lf_pages_both_paths(spark, pages_subset):
     before splitting. Without that normalization the column path leaks
     \\r into every scalar value (F.trim keeps it) and the two paths
     diverge from each other AND from the reference."""
-    crlf = pages_subset.withColumn(
-        "text", F.replace(F.col("text"), F.lit("\n"), F.lit("\r\n"))
-    )
     lf_arrow = _tset(build_triples(pages_subset, emit_mode="arrow"))
-    crlf_arrow = _tset(build_triples(crlf, emit_mode="arrow"))
-    assert crlf_arrow == lf_arrow, _diff_msg(crlf_arrow, lf_arrow)
-    crlf_columns = _tset(build_triples(crlf, emit_mode="columns"))
-    assert crlf_columns == lf_arrow, _diff_msg(crlf_columns, lf_arrow)
+    for ending in ("\r\n", "\r"):  # CRLF and CR-only (old-Mac) conventions
+        alt = pages_subset.withColumn(
+            "text", F.replace(F.col("text"), F.lit("\n"), F.lit(ending))
+        )
+        alt_arrow = _tset(build_triples(alt, emit_mode="arrow"))
+        assert alt_arrow == lf_arrow, ending + ": " + _diff_msg(alt_arrow, lf_arrow)
+        alt_columns = _tset(build_triples(alt, emit_mode="columns"))
+        assert alt_columns == lf_arrow, (
+            ending + ": " + _diff_msg(alt_columns, lf_arrow)
+        )

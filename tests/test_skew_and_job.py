@@ -250,7 +250,11 @@ def test_ror_enrich_job_cli(spark, tmp_path_factory):
     before matching (a ^DD-encoded umlaut resolves against the clean
     authority name), Cluster-first then ##-alternative fallback in
     order, quote-stripped alternatives, no-hit rows with empty ror
-    columns, Land str.capitalize()."""
+    columns, Land str.capitalize(). Plus the review-hardened contract:
+    extra input columns survive to the output, a country column on the
+    authority BIASES (same-name orgs in two countries resolve to the
+    in-country one, deterministically) without hard-rejecting, and
+    null-Land rows still link through the unbiased fallback pass."""
     import csv as csvmod
 
     from psyndex2linkeddata_spark.jobs.ror_enrich import main
@@ -259,23 +263,30 @@ def test_ror_enrich_job_cli(spark, tmp_path_factory):
     src = d / "clusters.csv"
     with open(src, "w", newline="", encoding="utf-8") as f:
         w = csvmod.writer(f)
-        w.writerow(["UUID", "Cluster", "Vorkommende Namen", "Land"])
+        w.writerow(["UUID", "Cluster", "Vorkommende Namen", "Land", "Notiz"])
         # exact hit on the Cluster name itself, after ^DD cleaning
-        w.writerow(["u1", 'Universit^D$eat Trier', '"Uni Trier"', "GERMANY"])
+        w.writerow(["u1", 'Universit^D$eat Trier', '"Uni Trier"', "GERMANY", "n1"])
         # Cluster misses; the SECOND alternative resolves (first-hit-wins
         # order), quotes stripped
         w.writerow([
             "u2", "Unknown Cluster Name",
-            '"No Such Institute" ## "Centre Hospitalier"', "LUXEMBOURG",
+            '"No Such Institute" ## "Centre Hospitalier"', "LUXEMBOURG", "n2",
         ])
         # nothing resolves
-        w.writerow(["u3", "Completely Unlinked", '"Still Unlinked"', "FRANCE"])
+        w.writerow(["u3", "Completely Unlinked", '"Still Unlinked"', "FRANCE", "n3"])
+        # same name exists in two countries — the biased pass must pick
+        # the LUXEMBOURG row, not an arbitrary one
+        w.writerow(["u4", "Ministry of Health", "", "LUXEMBOURG", "n4"])
+        # null Land: the biased pass is skipped, the fallback still links
+        w.writerow(["u5", "Universität Trier", "", "", "n5"])
     auth = d / "authority.csv"
     with open(auth, "w", newline="", encoding="utf-8") as f:
         w = csvmod.writer(f)
-        w.writerow(["name", "ror_id", "ror_name"])
-        w.writerow(["Universität Trier", "https://ror.org/02778hg05", "Universität Trier"])
-        w.writerow(["Centre Hospitalier", "https://ror.org/01abcde00", "Centre Hospitalier de Luxembourg"])
+        w.writerow(["name", "ror_id", "ror_name", "country"])
+        w.writerow(["Universität Trier", "https://ror.org/02778hg05", "Universität Trier", "GERMANY"])
+        w.writerow(["Centre Hospitalier", "https://ror.org/01abcde00", "Centre Hospitalier de Luxembourg", "LUXEMBOURG"])
+        w.writerow(["Ministry of Health", "https://ror.org/0aaaaaa01", "Ministry of Health (DE)", "GERMANY"])
+        w.writerow(["Ministry of Health", "https://ror.org/0bbbbbb02", "Ministry of Health (LU)", "LUXEMBOURG"])
     out = d / "enriched.csv"
     main(["--in", str(src), "--authority", str(auth), "--out", str(out)])
     with open(out, newline="", encoding="utf-8") as f:
@@ -283,10 +294,13 @@ def test_ror_enrich_job_cli(spark, tmp_path_factory):
     assert rows["u1"]["ror_id"] == "https://ror.org/02778hg05"
     assert rows["u1"]["Cluster"] == "Universität Trier"  # cleaned in output
     assert rows["u1"]["Land"] == "Germany"
+    assert rows["u1"]["Notiz"] == "n1"  # extra input columns preserved
     assert rows["u2"]["ror_id"] == "https://ror.org/01abcde00"
     assert rows["u2"]["ror_name"] == "Centre Hospitalier de Luxembourg"
     assert rows["u3"]["ror_id"] == ""
     assert rows["u3"]["Land"] == "France"
+    assert rows["u4"]["ror_id"] == "https://ror.org/0bbbbbb02"  # in-country
+    assert rows["u5"]["ror_id"] == "https://ror.org/02778hg05"  # null Land
 
 
 def test_org_authority_job_cli(spark, tmp_path_factory):
