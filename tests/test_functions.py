@@ -406,7 +406,10 @@ def test_parse_page_text_partition_equals_regex():
     REPEATED tag is uppercase-alnum), and its mandatory literal space is
     the partition separator check. Pinned over the synthetic corpus plus
     adversarial lines (no-space, leading-space, tab, double-space,
-    lowercase tag, unknown uppercase tag, \\r remnants, empty value)."""
+    lowercase tag, unknown uppercase tag, empty value, and bare-\\r
+    line breaks — both sides universal-newline-normalize, so
+    'AUP x\\rcarriage' is TWO lines: a repeated value 'x' plus a
+    dropped non-tag fragment)."""
     from psyndex2linkeddata_spark.datagen.pages import (
         make_records,
         pages_rows_from_records,
@@ -428,6 +431,10 @@ def test_parse_page_text_partition_equals_regex():
         rec = {}
         if text is None:
             return rec
+        # same universal-newline normalization as parse_page_text (and
+        # extract._entries): \r\n and lone \r are line breaks
+        if "\r" in text:
+            text = text.replace("\r\n", "\n").replace("\r", "\n")
         for line in clean_text(text).split("\n"):
             m = _LINE_RE.match(line)
             if not m:
