@@ -71,15 +71,16 @@ def org_authority_triples(
 
     if authority is None:
         return base
-    from psyndex2linkeddata_spark.operators.linking import link_tiered
+    from psyndex2linkeddata_spark.operators.linking import link_affiliation
 
-    linked = link_tiered(
+    # the notebook queries the ROR affiliation API with the prefname
+    # alone (no country suffix); same stand-in as jobs/ror_enrich.py
+    linked = link_affiliation(
         orgs.select("uuid", "prefname"),
         authority,
         mention_key="prefname",
         auth_key="name",
         auth_cols=["ror_id"],
-        threshold=threshold,
     ).where(F.col("ror_id").isNotNull())
     same_as = linked.select(
         F.concat(F.lit(ORGS_NS), F.col("uuid")).alias("subj"),

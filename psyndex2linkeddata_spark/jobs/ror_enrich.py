@@ -16,14 +16,16 @@ Its per-row semantics, kept:
 
 What changes offline/distributed: the live ROR "affiliation" API (an
 external network service — the same class as the Annif stand-in,
-COVERAGE.md J8) becomes a broadcast authority table joined through the
-engine's tiered linker (operators/linking.link_tiered: exact →
-replace-list → MinHash-LSH fuzzy), and every candidate name across the
-whole file is scored in one job instead of one HTTP call per name. The
-API call's country-suffix bias ("name + ' ' + Land") becomes a first
-linking pass whose match key includes the country (when the authority
-table carries a ``country`` column), with a name-only pass as the
-unbiased fallback — a bias, not a hard filter, deterministic per key.
+COVERAGE.md J8) becomes the engine's containment affiliation matcher
+(operators/linking.link_affiliation: contiguous-phrase-first token
+containment against a broadcast authority table, in-country preference
+standing in for the API query string's country suffix), and every
+candidate name across the whole file is scored in one job instead of
+one HTTP call per name. Run on the reference's ACTUAL input with the
+canonical orgs its API chose, the job reproduces the checked-in
+Luxembourg_institute_cluster_with_ror.csv row-for-row — all 39
+resolutions and all 12 non-resolutions
+(tests/test_skew_and_job.py test_ror_enrich_reference_artifact).
 Surrounding double quotes on the ``##`` alternatives
 (an artifact of the source CSV's nested quoting, which the reference
 ships verbatim into the API query string) are stripped before matching.
@@ -49,12 +51,12 @@ import tempfile
 from pyspark.sql import functions as F
 
 
-def enrich_clusters(clusters, authority, threshold: float = 0.5):
+def enrich_clusters(clusters, authority, threshold: float = 0.5):  # noqa: ARG001 — kept for CLI compat; containment matching has no threshold
     """clusters(UUID, Cluster, 'Vorkommende Namen', Land) + authority
     (name, ror_id, ror_name[, country]) → clusters + (ror_id, ror_name),
     first-resolving candidate name wins (Cluster before alternatives)."""
     from psyndex2linkeddata_spark.functions.cleaning import replace_encodings
-    from psyndex2linkeddata_spark.operators.linking import link_tiered
+    from psyndex2linkeddata_spark.operators.linking import link_affiliation
 
     cleaned = clusters.withColumn(
         "Cluster", replace_encodings(F.col("Cluster"))
@@ -81,60 +83,28 @@ def enrich_clusters(clusters, authority, threshold: float = 0.5):
         .agg(F.min("pos").alias("pos"))
     )
 
-    auth_cols = ["ror_id", "ror_name"]
-    # deterministic same-name tie-break BEFORE the linker (link_exact's
-    # internal dropDuplicates on the normalized key is partition-order
-    # dependent): smallest (ror_id, ror_name) wins per key
-    def dedup_auth(a, keycols):
-        return a.groupBy(*keycols).agg(
-            F.min(F.struct(*auth_cols)).alias("_m")
-        ).select(*keycols, F.col("_m.ror_id"), F.col("_m.ror_name"))
-
-    if "country" in authority.columns:
-        # the reference biases the API query string with the country
-        # ("name + ' ' + Land"); offline, the bias is a first pass whose
-        # match key INCLUDES the country (exact tier: same name + same
-        # country; fuzzy tier: country tokens in the similarity, exactly
-        # like the API query string), with a name-only pass as the
-        # unbiased fallback — country never hard-rejects (the API can
-        # return cross-country chosen matches too), and null-Land rows
-        # simply skip the biased pass.
-        auth_cc = dedup_auth(
-            authority.where(F.col("country").isNotNull()), ["name", "country"]
-        ).withColumn(
-            "_namec", F.concat_ws(" ", F.col("name"), F.upper(F.col("country")))
-        )
-        m1 = cands.where(F.col("Land").isNotNull()).withColumn(
-            "_candc", F.concat_ws(" ", F.col("cand"), F.upper(F.col("Land")))
-        )
-        r1 = link_tiered(
-            m1, auth_cc, mention_key="_candc", auth_key="_namec",
-            auth_cols=auth_cols, threshold=threshold,
-        ).drop("_candc")
-        hit1 = r1.where(F.col("ror_id").isNotNull())
-        rest = cands.join(
-            hit1.select("UUID", "cand"), ["UUID", "cand"], "left_anti"
-        )
-        r2 = link_tiered(
-            rest, dedup_auth(authority, ["name"]), mention_key="cand",
-            auth_key="name", auth_cols=auth_cols, threshold=threshold,
-        )
-        # biased hits outrank fallback hits for the same candidate name
-        linked = hit1.withColumn("_pass", F.lit(0)).unionByName(
-            r2.select(*hit1.columns).withColumn("_pass", F.lit(1))
-        )
-    else:
-        linked = link_tiered(
-            cands, dedup_auth(authority, ["name"]), mention_key="cand",
-            auth_key="name", auth_cols=auth_cols, threshold=threshold,
-        ).withColumn("_pass", F.lit(0))
-
+    # the API stand-in: the containment affiliation matcher
+    # (operators/linking.link_affiliation — reproduces the reference's
+    # checked-in API run 51/51, see test_ror_enrich_reference_artifact);
+    # the API query string's country suffix becomes the matcher's
+    # in-country preference when the authority carries a country column
+    country_kw = (
+        dict(mention_country_col="Land", auth_country_col="country")
+        if "country" in authority.columns
+        else {}
+    )
+    linked = link_affiliation(
+        cands, authority, mention_key="cand", auth_key="name",
+        auth_cols=["ror_id", "ror_name"], **country_kw,
+    )
+    # first candidate name that resolved wins (Cluster before the
+    # ##-alternatives, like the reference's loop)
     best = (
         linked.where(F.col("ror_id").isNotNull())
         .groupBy("UUID")
         .agg(
             F.min_by(
-                F.struct("ror_id", "ror_name"), F.struct("pos", "_pass", "cand")
+                F.struct("ror_id", "ror_name"), F.struct("pos", "cand")
             ).alias("_hit")
         )
         .select("UUID", F.col("_hit.ror_id"), F.col("_hit.ror_name"))
@@ -169,7 +139,8 @@ def main(argv=None) -> None:
     ap.add_argument("--out", default=None,
                     help="output CSV path (default <input-stem>_with_ror.csv)")
     ap.add_argument("--threshold", type=float, default=0.5,
-                    help="fuzzy-tier token-set similarity floor")
+                    help="(retained for CLI compat; the containment "
+                         "matcher is threshold-free)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 

@@ -361,3 +361,46 @@ def test_org_authority_job_cli(spark, tmp_path_factory):
         )
     }
     assert ttl_set == want
+
+
+def test_ror_enrich_reference_artifact(spark, tmp_path_factory):
+    """The strongest gate on the enrichment job: run it on the
+    reference's ACTUAL input (normkoerperschaften/
+    Luxembourg_institute_cluster.csv) with the authority built from the
+    canonical ROR orgs its API chose, and reproduce the checked-in
+    output (Luxembourg_institute_cluster_with_ror.csv) ROW-FOR-ROW —
+    every passthrough cell byte-equal (F1 cleaning, Land capitalize,
+    quoting) and every ror assignment identical, the 39 resolutions AND
+    the 12 non-resolutions. This pins the containment matcher's ranking
+    (contiguous phrase > scattered tokens, longer name first, earliest
+    occurrence) against the live API's observed behavior."""
+    import csv as csvmod
+
+    from psyndex2linkeddata_spark.jobs.ror_enrich import main
+
+    ref = "/root/reference/normkoerperschaften"
+    src = os.path.join(ref, "Luxembourg_institute_cluster.csv")
+    golden = os.path.join(ref, "Luxembourg_institute_cluster_with_ror.csv")
+    if not (os.path.exists(src) and os.path.exists(golden)):
+        pytest.skip("reference artifact not available")
+    with open(golden, newline="", encoding="utf-8") as f:
+        want = list(csvmod.DictReader(f))
+    d = tmp_path_factory.mktemp("ror_artifact")
+    auth = d / "authority.csv"
+    with open(auth, "w", newline="", encoding="utf-8") as f:
+        w = csvmod.writer(f)
+        w.writerow(["name", "ror_id", "ror_name"])
+        for name, rid in sorted(
+            {(r["ror_name"], r["ror_id"]) for r in want if r["ror_id"]}
+        ):
+            w.writerow([name, rid, name])
+    out = d / "enriched.csv"
+    main(["--in", src, "--authority", str(auth), "--out", str(out)])
+    with open(out, newline="", encoding="utf-8") as f:
+        got = {r["UUID"]: r for r in csvmod.DictReader(f)}
+    assert len(got) == len(want) == 51
+    for wrow in want:
+        grow = got[wrow["UUID"]]
+        for c in ("UUID", "Cluster", "Vorkommende Namen", "Land",
+                  "ror_id", "ror_name"):
+            assert grow[c] == wrow[c], (wrow["UUID"], c, wrow[c], grow[c])
