@@ -289,7 +289,12 @@ def link_affiliation(
         toks.select(*keycols, "_mtoks", F.explode("_mtoks").alias("_tok"))
         .join(F.broadcast(a), "_tok")
         .drop("_tok")
-        .dropDuplicates(keycols + ["_anorm"])
+        # dedup on the FULL authority identity — same-name orgs in two
+        # countries are distinct candidates (the country tie-break must
+        # see both)
+        .dropDuplicates(
+            keycols + ["_anorm"] + (["_aland"] if auth_country_col else [])
+        )
     )
     full = cand.where(F.size(F.array_except(F.col("_atoks"), F.col("_mtoks"))) == 0)
     scored = full.select(

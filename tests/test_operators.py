@@ -2042,3 +2042,65 @@ def test_sparql_filter_string_literal_and_parens(spark):
     }'''
     got = [r.w for r in sparql_select(t, q).collect()]
     assert got == ["w1"]
+
+
+def test_link_affiliation_deterministic_and_broadcast(spark):
+    """link_affiliation: (a) the semantics pinned in miniature —
+    contiguous phrase beats scattered containment, longer name beats
+    shorter, in-country preferred, no-match stays null; (b) the result
+    is IDENTICAL across input partitionings (the ranking has a total
+    order, so no partition-order dependence); (c) the authority side is
+    broadcast in the physical plan (dimension-side build, no shuffle of
+    the mention table for candidate generation)."""
+    from pyspark.sql import functions as F
+
+    from psyndex2linkeddata_spark.operators.linking import link_affiliation
+
+    auth = spark.createDataFrame(
+        [
+            ("University of Luxembourg", "UL", None),
+            ("Laboratoire National de Santé", "LNS", None),
+            ("Luxembourg Institute of Health", "LIH", None),
+            ("Ministry of Health", "MH_DE", "GERMANY"),
+            ("Ministry of Health", "MH_LU", "LUXEMBOURG"),
+        ],
+        ["name", "rid", "country"],
+    )
+    mentions = spark.createDataFrame(
+        [
+            (i, pat, land)
+            for i in range(300)
+            for pat, land in [
+                (f"University of Luxembourg; Dept {i}; Institute for Health", "LUXEMBOURG"),
+                (f"Lab {i}, Laboratoire National de Santé, University of Luxembourg", None),
+                (f"Unrelated Clinic {i}", "FRANCE"),
+                ("Ministry of Health", "GERMANY"),
+            ]
+        ],
+        ["i", "aff", "land"],
+    )
+
+    def run(df):
+        out = link_affiliation(
+            df, auth, "aff", "name", ["rid"],
+            mention_country_col="land", auth_country_col="country",
+        )
+        return sorted((r.i, r.aff, r.rid) for r in out.collect())
+
+    r1 = run(mentions.repartition(1))
+    r16 = run(mentions.repartition(16, "land"))
+    assert r1 == r16
+    by_aff = {a.split(";")[0].split(",")[0]: rid for _i, a, rid in r1}
+    assert by_aff["University of Luxembourg"] == "UL"      # contiguous beats LIH scatter
+    assert by_aff["Lab 0"] == "LNS"                         # longer contiguous wins
+    assert by_aff["Unrelated Clinic 0"] is None
+    assert by_aff["Ministry of Health"] == "MH_DE"          # in-country
+
+    plan = (
+        link_affiliation(
+            mentions, auth, "aff", "name", ["rid"],
+            mention_country_col="land", auth_country_col="country",
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
