@@ -52,6 +52,17 @@ def tokenize_terms(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
 
 
+def _unscaled_to_decimal(col: Column) -> Column:
+    """bigint unscaled(×10^10) → DECIMAL(20,10), exactly: the product
+    with the 1e-10 decimal literal is a pure scale shift inside
+    decimal(35,10) (no rounding), then a value-preserving downcast."""
+    from decimal import Decimal
+
+    return (col.cast("decimal(24,0)") * F.lit(Decimal("0.0000000001"))).cast(
+        "decimal(20,10)"
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     queries: DataFrame,
@@ -65,7 +76,42 @@ def bm25_scores(
     max_df_frac: float | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score DECIMAL(20,10)) for every document that
-    shares at least one term with the query. Lucene-style BM25:
+    shares at least one term with the query. Thin wrapper over
+    `_bm25_scores_unscaled` (the decimal is reconstructed exactly from
+    the bigint unscaled sum — see there for the plan shape)."""
+    scored = _bm25_scores_unscaled(
+        docs,
+        queries,
+        k1,
+        b,
+        id_col,
+        text_col,
+        query_id_col,
+        query_text_col,
+        barrier,
+        max_df_frac,
+    )
+    return scored.select(
+        query_id_col,
+        id_col,
+        _unscaled_to_decimal(F.col("score_unscaled")).alias("score"),
+    )
+
+
+def _bm25_scores_unscaled(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    barrier: bool = True,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score_unscaled BIGINT = score × 10^10) for
+    every document sharing ≥1 term with the query. Lucene-style BM25:
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf component
     tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)); duplicate query terms
     count once (standard short-query practice).
@@ -105,14 +151,34 @@ def bm25_scores(
         query_id_col, F.explode(tokenize_terms(F.col(query_text_col))).alias("term")
     ).distinct()
     qvocab = qterms.select("term").distinct()
+    # The postings table is explicitly hash-partitioned by the DOC id at
+    # operator-chosen width (r06): scoring fans each posting out to every
+    # query containing its term — a blow-up AQE cannot see (it sizes
+    # partitions from map-output bytes), so left to itself it coalesced
+    # the tf exchange to ~one partition and the entire Σ_q Σ_t |postings|
+    # fan-out plus the (query, doc) partial aggregation ran on one core
+    # (measured 143s at 50k docs × 516 queries; ~14s after). Doc-keyed
+    # partitioning also makes BOTH aggregations exchange-free:
+    # hashpartitioning(doc) satisfies ClusteredDistribution for the
+    # (doc, dl, term) tf groupBy and for the (query, doc) score groupBy
+    # (each group lives in one partition), so the only post-repartition
+    # exchanges are the tiny df(term) rollup and the top-k window.
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     postings = (
         toks.select(id_col, "dl", F.explode("_toks").alias("term"))
         .join(F.broadcast(qvocab), "term")
+        .repartition(n_parts, id_col)
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     if barrier:
-        postings = postings.localCheckpoint(eager=False)
+        # Under AQE a localCheckpoint comes back as UnknownPartitioning,
+        # which would force a corpus-candidate-sized exchange under the
+        # (query, doc) aggregation; re-asserting the doc partitioning on
+        # the materialized table is one posting-sized (small) exchange.
+        postings = postings.localCheckpoint(eager=False).repartition(
+            n_parts, id_col
+        )
     dft = (
         postings.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -136,14 +202,33 @@ def bm25_scores(
         F.col("tf")
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
-    return (
-        postings.join(F.broadcast(idf), "term")
-        .join(F.broadcast(qterms), "term")
-        .withColumn(
-            "_s", (F.col("idf").cast("double") * tfc).cast("decimal(20,10)")
+    # _s depends only on (term, doc) — compute it (double mul + decimal
+    # cast) ONCE per posting row BEFORE the per-query fan-out join, not
+    # once per (query, term, doc) row (guide §2.3: put per-row work below
+    # the blow-up). The per-(query, doc) sum then runs on the UNSCALED
+    # long of the decimal(20,10): the scale shift (decimal × 10^10 →
+    # bigint) is exact, a bigint sum of unscaled values IS the decimal
+    # sum (order-independent either way), and long aggregation buffers
+    # avoid per-row Decimal arithmetic across the fan-out. The cast
+    # chain is exact end to end: _s < 100 (idf ≤ ln(1+2N), tf component
+    # < k1+1) so decimal(16,10) holds it, and the ×10^10 product stays
+    # within decimal(37,10).
+    per_posting = postings.join(F.broadcast(idf), "term").select(
+        id_col,
+        "term",
+        (
+            (F.col("idf").cast("double") * tfc)
+            .cast("decimal(20,10)")
+            .cast("decimal(16,10)")
+            * F.lit(10_000_000_000)
         )
+        .cast("long")
+        .alias("_sl"),
+    )
+    return (
+        per_posting.join(F.broadcast(qterms), "term")
         .groupBy(query_id_col, id_col)
-        .agg(F.sum("_s").alias("score"))
+        .agg(F.sum("_sl").alias("score_unscaled"))
     )
 
 
@@ -168,7 +253,7 @@ def bm25_topk(
     bm25_scores)."""
     if k <= 0 or n_salts <= 0:
         raise ValueError("require k > 0 and n_salts > 0")
-    scored = bm25_scores(
+    scored = _bm25_scores_unscaled(
         docs,
         queries,
         k1,
@@ -184,7 +269,9 @@ def bm25_topk(
         .cast("bigint"),
         F.lit(n_salts),
     )
-    order = [F.col("score").desc(), F.col(id_col).asc()]
+    # rank on the bigint unscaled score: identical ordering to the
+    # decimal (same fixed scale), long sort keys instead of Decimal
+    order = [F.col("score_unscaled").desc(), F.col(id_col).asc()]
     w1 = Window.partitionBy(query_id_col, salt).orderBy(*order)
     w2 = Window.partitionBy(query_id_col).orderBy(*order)
     return (
@@ -195,7 +282,9 @@ def bm25_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(F.col("score").cast("double"), 4).alias("score"),
+            F.round(
+                _unscaled_to_decimal(F.col("score_unscaled")).cast("double"), 4
+            ).alias("score"),
             "rank",
         )
     )
