@@ -162,6 +162,15 @@ def minhash_signatures(
     ).select(
         F.col(id_col), F.explode(shingle_array(F.col("_norm"), n)).alias("_s")
     )
+    # Aggregation-form note (r06, measured at 50k × ~52-shingle docs):
+    # min(string) forces a SortAggregate (string buffers are not
+    # hash-aggregable), but converting the seed hashes to ints for a
+    # HashAggregate LOSES — F.conv is an interpreted BigInteger parse and
+    # 8 of them per shingle row cost more than the sort (8.4s string
+    # SortAgg vs 11.9s int HashAgg vs 9.1-9.3s staged-substring
+    # variants); codegen subexpression elimination already evaluates the
+    # two md5 digests once per row inside the aggregate expressions, so
+    # the string form stands.
     agg = ex.groupBy(id_col).agg(
         *[
             F.min(seed_hash(F.col("_s"), i)).alias(f"_m{i}")
@@ -215,6 +224,8 @@ def minhash_lsh_pairs(
     linear, skew-free) already collapses, so route those through
     exact_duplicate_groups rather than through a quadratic join. None
     disables the guard (and its extra aggregation) for small corpora."""
+    from pyspark.sql import Window
+
     rows_per_band = num_hashes // bands
     # explode→groupBy signatures (scale path; see minhash_signatures)
     sigd = minhash_signatures(df, id_col, text_col, num_hashes, n)
@@ -222,19 +233,26 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.explode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias("b"),
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    # r06: one explicit bucket-keyed exchange shared by both join sides
+    # (ReuseExchange), window-based bucket guard on that partitioning,
+    # FORCED sort-merge join — the same rewrite as ngram_jaccard_pairs:
+    # Catalyst otherwise broadcast the banded table (corpus-sized at
+    # scale) and ran the bucket fan-out on the AQE-coalesced (~single-
+    # partition) stream side.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(n_parts, "band", "key")
     if max_bucket_size is not None:
-        small = (
-            banded.groupBy("band", "key")
-            .count()
-            .where(F.col("count") <= max_bucket_size)
-            .select("band", "key")
+        w = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("_bk", F.count(F.lit(1)).over(w))
+            .where(F.col("_bk") <= max_bucket_size)
+            .drop("_bk")
         )
-        banded = banded.join(small, ["band", "key"])
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -728,20 +746,26 @@ def incremental_neardup(
         batch, id_col, text_col, num_hashes, bands, n
     ).localCheckpoint(eager=True)
 
-    # within-batch candidate pairs + transitive closure
-    joinable = bandrows
+    # within-batch candidate pairs + transitive closure — bucket-keyed
+    # explicit exchange + window guard + forced merge join, as in
+    # minhash_lsh_pairs (the checkpointed table comes back with
+    # UnknownPartitioning, so the repartition is also what gives the
+    # bucket fan-out its parallelism)
+    from pyspark.sql import Window
+
+    n_parts = batch.sparkSession.sparkContext.defaultParallelism
+    joinable = bandrows.repartition(n_parts, "band", "key")
     if max_bucket_size is not None:
-        small = (
-            bandrows.groupBy("band", "key")
-            .count()
-            .where(F.col("count") <= max_bucket_size)
-            .select("band", "key")
+        w = Window.partitionBy("band", "key")
+        joinable = (
+            joinable.withColumn("_bk", F.count(F.lit(1)).over(w))
+            .where(F.col("_bk") <= max_bucket_size)
+            .drop("_bk")
         )
-        joinable = bandrows.join(small, ["band", "key"])
     a, b = joinable.alias("a"), joinable.alias("b")
     pairs = (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),

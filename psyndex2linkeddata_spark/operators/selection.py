@@ -65,12 +65,22 @@ def hashed_ngram_counts(
     max_n: int = 2,
 ) -> DataFrame:
     """(id, bucket, cnt): hashed uni..max_n-gram counts per document.
-    One narrow explode over staged gram arrays, one uniform groupBy."""
+    One narrow explode over staged gram arrays, one doc-keyed groupBy.
+
+    The explicit doc-keyed exchange (r06) fixes the same AQE blind spot
+    as the bm25 postings build: the (id, bucket) aggregation's exchange
+    was sized from its small map output and coalesced to ~one partition,
+    serializing the feature aggregation; partitioning by the doc id at
+    operator-chosen width ALSO satisfies ClusteredDistribution for this
+    groupBy and for the downstream per-doc weight sum (dsir_weights), so
+    both aggregate exchange-free and in parallel."""
     norm = norm_text(F.col(text_col))
     grams = F.concat(*[gram_array(norm, n) for n in range(1, max_n + 1)])
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.select(F.col(id_col), F.explode(grams).alias("_g"))
         .select(F.col(id_col), gram_bucket(F.col("_g"), n_buckets).alias("bucket"))
+        .repartition(n_parts, id_col)
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("cnt"))
     )
