@@ -579,10 +579,10 @@ def q_snapshot_dedup(spark, sf):
 
 
 def q_simhash(spark, sf):
-    from psyndex2linkeddata_spark.operators.dedup import simhash_hex
+    from psyndex2linkeddata_spark.operators.dedup import simhash_hex_table
 
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", simhash_hex(F.col("text")).alias("simhash"))
+    return simhash_hex_table(d)
 
 
 def q_embedding_topk(spark, sf):
@@ -767,17 +767,38 @@ def q_lang_id_ngram(spark, sf):
     one JVM-side regexp_count per language over the lowercased text,
     argmax with first-in-table tie-break. The per-language hit counts are
     in the output so the oracle pins the votes, not just the winner."""
-    from psyndex2linkeddata_spark.functions.textstats import (
-        lang_id_ngram,
-        lang_ngram_counts,
-    )
+    from psyndex2linkeddata_spark.functions.textstats import lang_ngram_counts
 
     d = _t(spark, sf, "documents")
     counts = lang_ngram_counts(F.col("text"))
-    return d.select(
+    langs = [lang for lang, _ in _ngram_profiles()]
+    # stage the six regexp_count columns as attributes and derive the
+    # argmax from THEM (r06): the when-chain references every count up
+    # to 7×, and relying on codegen subexpression elimination left six
+    # full regex scans plus re-evaluations in the plan — with staged
+    # attributes each scan runs exactly once (CollapseProject keeps
+    # multi-referenced non-cheap aliases staged). Same counts, same
+    # >=-chain, same tie-break — bit-identical output.
+    staged = d.select(
         "doc_id",
-        *[counts[lang].alias(f"c_{lang}") for lang, _ in _ngram_profiles()],
-        lang_id_ngram(F.col("text")).alias("lang_guess"),
+        *[counts[lang].alias(f"c_{lang}") for lang in langs],
+    )
+    result = None
+    for lang in langs:
+        c = F.col(f"c_{lang}")
+        cond = c > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (c >= F.col(f"c_{other}"))
+        result = (
+            F.when(cond, F.lit(lang))
+            if result is None
+            else result.when(cond, F.lit(lang))
+        )
+    return staged.select(
+        "doc_id",
+        *[f"c_{lang}" for lang in langs],
+        result.otherwise(F.lit("und")).alias("lang_guess"),
     )
 
 
@@ -875,24 +896,34 @@ def q_bpe_tokens(spark, sf):
 
 
 def q_fingerprints(spark, sf):
+    """rolling_fp via the codegen shingle_array (r06): SET-equal to the
+    shingles_of tower it replaces (both distinct; <5-token docs yield the
+    whole normalized text on either path), and array_min(md5) over the
+    same set is the same value — while the transform/slice HOF tower
+    evaluated interpreted. Both the normalized text and the shingle
+    array are staged as attributes so nothing re-computes per element."""
     from psyndex2linkeddata_spark.functions.textstats import (
         bag_fingerprint,
         fingerprint,
-        rolling_fingerprint_of,
     )
-    from psyndex2linkeddata_spark.operators.dedup import tokens
+    from psyndex2linkeddata_spark.operators.dedup import norm_text, shingle_array
 
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
         fingerprint(F.col("text")).alias("fp"),
         bag_fingerprint(F.col("text")).alias("bag_fp"),
-        tokens(F.col("text")).alias("_toks"),
+        norm_text(F.col("text")).alias("_norm"),
     ).select(
         "doc_id",
         "fp",
         "bag_fp",
-        rolling_fingerprint_of(F.col("_toks"), 5).alias("rolling_fp"),
+        shingle_array(F.col("_norm"), 5).alias("_sh5"),
+    ).select(
+        "doc_id",
+        "fp",
+        "bag_fp",
+        F.array_min(F.transform(F.col("_sh5"), F.md5)).alias("rolling_fp"),
     )
 
 
@@ -921,11 +952,25 @@ def q_connected_components(spark, sf):
     from psyndex2linkeddata_spark.operators.components import connected_components
 
     li = _t(spark, sf, "lineitem")
-    edges = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), (F.col("l_partkey") % 50).cast("string")).alias("dst"),
-    ).distinct()
+    # distinct the INT key pairs before stringifying (r06): the concat
+    # prefixes are injective, so distinct-then-concat equals the old
+    # concat-then-distinct edge set while the 6M-row distinct shuffles
+    # narrow ints instead of strings (guide §2.3 narrower types).
+    edges = _supplier_part_edges(li)
     return connected_components(edges)
+
+
+def _supplier_part_edges(li):
+    """Distinct supplier→part edges, deduped on the int pair before the
+    string encode (same edge set — the prefixes are injective; the 6M-row
+    distinct shuffles two ints instead of two strings)."""
+    pairs = li.select(
+        F.col("l_suppkey").alias("_sk"), (F.col("l_partkey") % 50).alias("_pk")
+    ).distinct()
+    return pairs.select(
+        F.concat(F.lit("s"), F.col("_sk").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("_pk").cast("string")).alias("dst"),
+    )
 
 
 def q_skos_hygiene(spark, sf):
@@ -1153,11 +1198,9 @@ def q_hits(spark, sf):
     from psyndex2linkeddata_spark.operators.graph import hits
 
     li = _t(spark, sf, "lineitem")
-    edges = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), (F.col("l_partkey") % 50).cast("string")).alias("dst"),
-    )
-    return hits(edges, n_iter=3)
+    # pre-distinct on ints (see _supplier_part_edges): hits() distincts
+    # its edge input, so the edge set is unchanged
+    return hits(_supplier_part_edges(li), n_iter=3)
 
 
 def q_kg_stats(spark, sf):
@@ -1253,11 +1296,9 @@ def q_pagerank(spark, sf):
     from psyndex2linkeddata_spark.operators.graph import pagerank
 
     li = _t(spark, sf, "lineitem")
-    edges = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), (F.col("l_partkey") % 50).cast("string")).alias("dst"),
-    )
-    return pagerank(edges, n_iter=5)
+    # pre-distinct on ints (see _supplier_part_edges): pagerank()
+    # distincts its edge input, so the edge set is unchanged
+    return pagerank(_supplier_part_edges(li), n_iter=5)
 
 
 def q_kg_pipeline_synthetic(spark, sf):

@@ -120,16 +120,32 @@ def cdc_chunks(
     # toks[i-k+1 .. i] divisible by `divisor`; never after the last token.
     # Guard: sequence(a, b) with b < a yields a DESCENDING sequence, so
     # docs shorter than k+1 tokens must short-circuit to "no boundaries".
+    if divisor >= 1 and 16 % divisor == 0:
+        # hash32 % d (d | 16) depends only on the value's low bits, i.e.
+        # on the 8th hex char of the md5 — membership in a precomputed
+        # char set replaces F.conv, an interpreted BigInteger parse that
+        # dominated the per-position lambda (r06; same boundary bits).
+        zero_chars = [h for h in "0123456789abcdef" if int(h, 16) % divisor == 0]
+
+        def _is_boundary(i):
+            return F.substring(
+                F.md5(F.array_join(F.slice(t, i - (k - 1), k), " ")), 8, 1
+            ).isin(*zero_chars)
+
+    else:
+
+        def _is_boundary(i):
+            return (
+                F.pmod(
+                    _gram_hash32(F.array_join(F.slice(t, i - (k - 1), k), " ")),
+                    F.lit(divisor),
+                )
+                == 0
+            )
+
     bpos = F.when(
         n - 1 >= k,
-        F.filter(
-            F.sequence(F.lit(k), n - 1),
-            lambda i: F.pmod(
-                _gram_hash32(F.array_join(F.slice(t, i - (k - 1), k), " ")),
-                F.lit(divisor),
-            )
-            == 0,
-        ),
+        F.filter(F.sequence(F.lit(k), n - 1), _is_boundary),
     ).otherwise(F.array().cast("array<int>"))
     edged = staged.select(
         id_col,

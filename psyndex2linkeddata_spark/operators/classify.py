@@ -69,17 +69,27 @@ def nb_train(
         tokenize_terms(F.col(text_col)).alias("_toks"),
     )
     exploded = toks.select("label", "_doc", F.explode("_toks").alias("token"))
-    vocab = exploded.groupBy("token").agg(
-        F.count_distinct("_doc").alias("df")
+    # ONE pass over the exploded token stream (r06): a doc carries
+    # exactly one label, so per-token df = Σ over labels of the
+    # per-(token, label) distinct-doc counts — the (token, label) grain
+    # aggregation yields both the count table and the vocabulary. The
+    # previous form re-executed the tokenize+explode subtree for the
+    # vocab aggregate, its count() action, the semi-joined count table
+    # and the dense-model branch (~4×); the grain table is vocab-sized,
+    # so the eager checkpoint pins it for every consumer.
+    grain = (
+        exploded.groupBy("token", "label")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.count_distinct("_doc").alias("_dfl"),
+        )
+        .localCheckpoint(eager=True)
     )
+    vocab = grain.groupBy("token").agg(F.sum("_dfl").alias("df"))
     if min_df > 1:
         vocab = vocab.where(F.col("df") >= min_df)
     vocab = vocab.select("token")
-    counts = (
-        exploded.join(vocab, "token", "left_semi")
-        .groupBy("token", "label")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    counts = grain.join(vocab, "token", "left_semi").select("token", "label", "c")
 
     labels = labeled.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_docs_label")
@@ -125,12 +135,27 @@ def nb_scores(
     OOV still get every label's prior (via the docs × priors frame).
     `broadcast_model=False` falls back to a shuffle join for a vocab too
     large to broadcast."""
-    m = F.broadcast(model) if broadcast_model else model
+    # the per-token fan-out sums UNSCALED bigints of the decimal ll
+    # (converted once per model row — the model is vocab×labels, tiny
+    # next to the corpus token stream); a bigint sum of unscaled values
+    # IS the decimal sum, reconstructed exactly below (same pattern as
+    # operators/retrieval). |ll| < 10^6 comfortably, so the ×10^10
+    # product fits decimal(26,0) and the per-doc sum fits bigint.
+    mconv = model.select(
+        "token",
+        "label",
+        (F.col("ll").cast("decimal(16,10)") * F.lit(10_000_000_000))
+        .cast("long")
+        .alias("_lll"),
+    )
+    m = F.broadcast(mconv) if broadcast_model else mconv
+    from psyndex2linkeddata_spark.operators.retrieval import _unscaled_to_decimal
+
     tok_scores = (
         docs.select(F.col(id_col), F.explode(tokenize_terms(F.col(text_col))).alias("token"))
         .join(m, "token")
         .groupBy(id_col, "label")
-        .agg(F.sum("ll").alias("_tok_sum"))
+        .agg(F.sum("_lll").alias("_tok_sum_l"))
     )
     return (
         docs.select(id_col)
@@ -141,7 +166,10 @@ def nb_scores(
             F.col("label"),
             (
                 F.col("logprior")
-                + F.coalesce(F.col("_tok_sum"), F.lit(0).cast(_DEC))
+                + F.coalesce(
+                    _unscaled_to_decimal(F.col("_tok_sum_l")),
+                    F.lit(0).cast(_DEC),
+                )
             )
             .cast(_DEC)
             .alias("score"),

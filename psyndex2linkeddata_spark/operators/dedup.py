@@ -413,6 +413,42 @@ def simhash_hex(col: Column) -> Column:
     )
 
 
+def simhash_hex_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — the DataFrame-level scale path for `simhash_hex`,
+    value-identical bit strings (r06; measured 14.4s → ~3s at 50k docs).
+
+    The per-row Column form folds a 32-wide vote accumulator through an
+    interpreted aggregate/zip_with tower per token; this form explodes
+    tokens, computes ONE codegen md5 per token row, and reduces with a
+    single hash aggregate of 32 integer ±1-vote sums (map-side partial
+    combine — the exchange carries one 33-column row per doc per map
+    partition). Docs with no tokens never reach the aggregate and are
+    restored by the left join with the all-zero-votes signature '0'*32 —
+    exactly what the empty fold yields."""
+    ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    md = ex.select(F.col(id_col), F.md5(F.col("_t")).alias("_m"))
+    votes = md.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.substring(F.col("_m"), p, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"_v{p}")
+            for p in range(1, 33)
+        ]
+    )
+    sig = F.concat(
+        *[
+            F.when(F.col(f"_v{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in range(1, 33)
+        ]
+    )
+    return df.select(id_col).join(votes, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(sig, F.lit("0" * 32)).alias("simhash"),
+    )
+
+
 def simhash_duplicate_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:

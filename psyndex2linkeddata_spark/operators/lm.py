@@ -180,26 +180,43 @@ def lm_mean_nll(
             F.when(F.col("_i2").isNotNull(), F.col("rw2")).otherwise(F.lit(UNK)).alias("w2"),
         )
     )
+    # score with UNSCALED bigints of the decimal(20,10) model logs —
+    # converted once per (tiny) model row, summed as longs across the
+    # corpus bigram stream, reconstructed exactly for the output (the
+    # operators/retrieval pattern; |log| < 10^6 so every cast is exact
+    # and a doc's sum stays far inside bigint)
+    from psyndex2linkeddata_spark.operators.retrieval import _unscaled_to_decimal
+
+    def _l(c: str):
+        return (
+            F.col(c).cast("decimal(16,10)") * F.lit(10_000_000_000)
+        ).cast("long")
+
+    bigram_l = bigram.select("w1", "w2", _l("l_num").alias("_num_l"))
+    backoff_l = backoff.select("w2", _l("l_backoff").alias("_back_l"))
+    denom_l = denom.select("w1", _l("l_denom").alias("_den_l"))
     scored = (
-        dbg.join(F.broadcast(bigram), ["w1", "w2"], "left")
-        .join(F.broadcast(backoff.select("w2", "l_backoff")), "w2")
-        .join(F.broadcast(denom), "w1")
+        dbg.join(F.broadcast(bigram_l), ["w1", "w2"], "left")
+        .join(F.broadcast(backoff_l), "w2")
+        .join(F.broadcast(denom_l), "w1")
         .select(
             id_col,
             (
-                F.coalesce(F.col("l_num"), F.col("l_backoff")) - F.col("l_denom")
-            ).alias("_lp"),
+                F.coalesce(F.col("_num_l"), F.col("_back_l")) - F.col("_den_l")
+            ).alias("_lp_l"),
         )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("_lp").alias("_sum_lp"),
+            F.sum("_lp_l").alias("_sum_lp_l"),
         )
         .select(
             id_col,
             "n_bigrams",
             F.round(
-                (-F.col("_sum_lp").cast("double")) / F.col("n_bigrams"), 4
+                (-_unscaled_to_decimal(F.col("_sum_lp_l")).cast("double"))
+                / F.col("n_bigrams"),
+                4,
             ).alias("mean_nll"),
         )
     )
