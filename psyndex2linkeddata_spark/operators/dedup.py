@@ -254,7 +254,9 @@ def minhash_lsh_pairs(
     # Catalyst otherwise broadcast the banded table (corpus-sized at
     # scale) and ran the bucket fan-out on the AQE-coalesced (~single-
     # partition) stream side.
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    from psyndex2linkeddata_spark.operators.skew import fanout_partitions
+
+    n_parts = fanout_partitions(df)
     banded = banded.repartition(n_parts, "band", "key")
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "key")
@@ -327,7 +329,9 @@ def ngram_jaccard_pairs(
         F.size("_sh").alias("n_sh"),
         F.explode("_sh").alias("shingle"),
     )
-    n_parts = pair_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    from psyndex2linkeddata_spark.operators.skew import fanout_partitions
+
+    n_parts = fanout_partitions(df, pair_parallelism)
     ex = ex.repartition(n_parts, "shingle")
     if max_shingle_freq is not None:
         w = Window.partitionBy("shingle")
@@ -804,7 +808,9 @@ def incremental_neardup(
     # bucket fan-out its parallelism)
     from pyspark.sql import Window
 
-    n_parts = batch.sparkSession.sparkContext.defaultParallelism
+    from psyndex2linkeddata_spark.operators.skew import fanout_partitions
+
+    n_parts = fanout_partitions(batch)
     joinable = bandrows.repartition(n_parts, "band", "key")
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "key")

@@ -200,7 +200,9 @@ def _bm25_per_posting(
     # (doc, dl, term) tf groupBy and for the (query, doc) score groupBy
     # (each group lives in one partition), so the only post-repartition
     # exchanges are the tiny df(term) rollup and the top-k window.
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    from psyndex2linkeddata_spark.operators.skew import fanout_partitions
+
+    n_parts = fanout_partitions(docs)
     postings = (
         toks.select(id_col, "dl", F.explode("_toks").alias("term"))
         .join(F.broadcast(qvocab), "term")

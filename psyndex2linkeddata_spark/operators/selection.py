@@ -76,7 +76,9 @@ def hashed_ngram_counts(
     both aggregate exchange-free and in parallel."""
     norm = norm_text(F.col(text_col))
     grams = F.concat(*[gram_array(norm, n) for n in range(1, max_n + 1)])
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    from psyndex2linkeddata_spark.operators.skew import fanout_partitions
+
+    n_parts = fanout_partitions(df)
     return (
         df.select(F.col(id_col), F.explode(grams).alias("_g"))
         .select(F.col(id_col), gram_bucket(F.col("_g"), n_buckets).alias("bucket"))

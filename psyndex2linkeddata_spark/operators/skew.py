@@ -17,7 +17,31 @@ alias sets per entity).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+
+def fanout_partitions(df: DataFrame, override: int | None = None) -> int:
+    """Width for an operator-pinned exchange feeding a known fan-out
+    (bucket self-joins, per-query scoring, feature explodes — r06).
+
+    AQE sizes post-shuffle partitions from MAP OUTPUT bytes and cannot
+    see a downstream blow-up, so these exchanges must not be left to
+    coalescing; the operator pins them. Default is
+    `sparkContext.defaultParallelism` — cores locally, total executor
+    cores on a cluster, i.e. proportional to the compute the job was
+    given rather than a tuned constant. For cluster jobs whose
+    post-fan-out volume per core exceeds a comfortable task size, set
+    `SPARK_GRAFT_FANOUT_PARTITIONS` (or pass `override`) to
+    fan-out-bytes / target-partition-size; the local default keeps
+    the driver bench untouched."""
+    if override:
+        return int(override)
+    env = os.environ.get("SPARK_GRAFT_FANOUT_PARTITIONS")
+    if env:
+        return int(env)
+    return df.sparkSession.sparkContext.defaultParallelism
 
 
 def with_salt(df: DataFrame, n_salts: int = 16, col: str = "_salt") -> DataFrame:
