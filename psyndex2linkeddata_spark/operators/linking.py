@@ -333,4 +333,9 @@ def link_affiliation(
         .where(F.col("_rn") == 1)
         .select(*keycols, *auth_cols)
     )
-    return m.join(F.broadcast(best), keycols, "left").drop("_mnorm", "_mland")
+    # no broadcast hint on the re-join (r06, per round-5 advice): `best`
+    # has one row per distinct normalized MENTION — mention-scaled, not
+    # dimension-scaled — so forcing it into a broadcast would overflow
+    # the driver on corpus-scale mention sets; AQE picks broadcast by
+    # itself whenever the mention set is actually small.
+    return m.join(best, keycols, "left").drop("_mnorm", "_mland")
