@@ -124,7 +124,18 @@ def cleaned(col: Column) -> Column:
 
 
 def explode_triples(df: DataFrame, arr: Column) -> DataFrame:
-    """array<triple> column → triples DataFrame (the single explode)."""
-    return df.select(F.explode(arr).alias("_t")).select(
-        *[F.col("_t")[c].alias(c) for c in TRIPLE_COLS]
+    """array<triple> column → triples DataFrame (the single explode).
+
+    explode_OUTER + a null filter on the generated attribute (r06): a
+    plain explode makes Catalyst infer a `size(arr) > 0` pre-filter
+    (InferFiltersFromGenerate) and push it below the projection — for
+    THIS column that means re-evaluating the entire concatenated
+    emitter tree once more per record. The outer form never triggers
+    the inference; records with an empty/null triple array (none exist
+    — work_core always emits) are dropped by the attribute filter
+    exactly as explode dropped them."""
+    return (
+        df.select(F.explode_outer(arr).alias("_t"))
+        .where(F.col("_t").isNotNull())
+        .select(*[F.col("_t")[c].alias(c) for c in TRIPLE_COLS])
     )

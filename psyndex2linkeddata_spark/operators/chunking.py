@@ -58,7 +58,9 @@ def chunk_tokens(
         .select(
             id_col,
             "_t",
-            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+            # outer: _nc >= 1 always, so rows are identical — the outer
+            # form just never triggers the inferred size>0 pre-filter
+            F.explode_outer(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
         )
         .select(
             id_col,
@@ -158,7 +160,13 @@ def cdc_chunks(
         lambda j: F.slice(t, e[j] + 1, e[j + 1] - e[j]),
     )
     return (
-        edged.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c"))
+        # outer: chunks has >= 1 element always (the [0, n] edge pair),
+        # so rows are identical and the inferred size>0 pre-filter —
+        # which would re-evaluate the whole chunk transform per row —
+        # never appears
+        edged.select(
+            F.col(id_col), F.posexplode_outer(chunks).alias("chunk_id", "_c")
+        )
         .select(
             id_col,
             F.col("chunk_id").cast("long").alias("chunk_id"),

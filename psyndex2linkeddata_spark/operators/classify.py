@@ -151,8 +151,14 @@ def nb_scores(
     m = F.broadcast(mconv) if broadcast_model else mconv
     from psyndex2linkeddata_spark.operators.retrieval import _unscaled_to_decimal
 
+    # explode_OUTER: avoids the inferred size>0 pre-filter that would
+    # re-run tokenization per row; null tokens (empty docs) are dropped
+    # by the inner model join exactly as explode dropped the row
     tok_scores = (
-        docs.select(F.col(id_col), F.explode(tokenize_terms(F.col(text_col))).alias("token"))
+        docs.select(
+            F.col(id_col),
+            F.explode_outer(tokenize_terms(F.col(text_col))).alias("token"),
+        )
         .join(m, "token")
         .groupBy(id_col, "label")
         .agg(F.sum("_lll").alias("_tok_sum_l"))

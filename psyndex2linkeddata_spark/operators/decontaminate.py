@@ -24,10 +24,15 @@ from psyndex2linkeddata_spark.operators.dedup import norm_text, shingle_array
 def _grams(
     df: DataFrame, text_col: str, n: int, extra_cols: list[str]
 ) -> DataFrame:
+    # explode_OUTER: avoids Catalyst's inferred size>0 pre-filter,
+    # which re-evaluates the staged shingle construction per row (see
+    # dedup.minhash_signatures); shingle_array is never empty/null, so
+    # the rows are identical.
     return df.select(
         *extra_cols, norm_text(F.col(text_col)).alias("_norm")
     ).select(
-        *extra_cols, F.explode(shingle_array(F.col("_norm"), n)).alias("_gram")
+        *extra_cols,
+        F.explode_outer(shingle_array(F.col("_norm"), n)).alias("_gram"),
     )
 
 

@@ -172,10 +172,18 @@ def minhash_signatures(
     (minhash_signature) evaluates interpreted and recomputes the shingle
     array per seed. `shingle_array` always yields ≥1 element, so no rows
     are dropped."""
+    # explode_OUTER (r06): plain explode makes Catalyst infer a
+    # size(...) > 0 pre-filter (InferFiltersFromGenerate) and push it
+    # below the projection that stages the shingle array — re-evaluating
+    # the whole multi-regex construction once more per row (measured 2×
+    # the stage). shingle_array guarantees ≥1 non-null element, so the
+    # outer explode emits exactly the same rows and no null ever
+    # appears; it just never triggers the inference.
     ex = df.select(
         F.col(id_col), norm_text(F.col(text_col)).alias("_norm")
     ).select(
-        F.col(id_col), F.explode(shingle_array(F.col("_norm"), n)).alias("_s")
+        F.col(id_col),
+        F.explode_outer(shingle_array(F.col("_norm"), n)).alias("_s"),
     )
     # Aggregation-form note (r06, measured at 50k × ~52-shingle docs):
     # min(string) forces a SortAggregate (string buffers are not
@@ -324,10 +332,12 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col), norm_text(F.col(text_col)).alias("_norm")
     ).select(F.col(id_col), shingle_array(F.col("_norm"), n).alias("_sh"))
+    # explode_OUTER: see minhash_signatures — avoids the inferred
+    # size>0 filter that re-evaluates the staged shingle construction
     ex = sh.select(
         F.col(id_col),
         F.size("_sh").alias("n_sh"),
-        F.explode("_sh").alias("shingle"),
+        F.explode_outer("_sh").alias("shingle"),
     )
     from psyndex2linkeddata_spark.operators.skew import fanout_partitions
 
@@ -446,7 +456,13 @@ def simhash_hex_table(
     partition). Docs with no tokens never reach the aggregate and are
     restored by the left join with the all-zero-votes signature '0'*32 —
     exactly what the empty fold yields."""
-    ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    # explode_OUTER: no inferred size>0 re-tokenization; an empty doc's
+    # null token row yields all-null substrings, every when() falls to
+    # its -1 branch, and negative votes render '0'*32 — the same
+    # signature the left-join restoration produces, so outputs match.
+    ex = df.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("_t")
+    )
     md = ex.select(F.col(id_col), F.md5(F.col("_t")).alias("_m"))
     votes = md.groupBy(id_col).agg(
         *[

@@ -160,9 +160,21 @@ def lm_mean_nll(
     dtoks = docs.select(
         F.col(id_col), tokenize_terms(F.col(text_col)).alias("_toks")
     )
+    # bigram fan-out without the two pushdown traps (r06): the old
+    # where(size >= 2) pushed a size(tokenize) predicate below the
+    # staging projection (tokenizing every row twice), and the plain
+    # explode added an inferred size(_bigrams)>0 pre-filter that built
+    # the interpreted bigram array twice per row. The when() guard keeps
+    # short docs at an empty array (slice with a negative length would
+    # throw), explode_OUTER triggers no inference, and the null filter
+    # on the generated attribute drops exactly the <2-token docs the old
+    # where() dropped.
+    bg_arr = F.when(
+        F.size("_toks") >= 2, _bigrams(F.col("_toks"))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     dbg = (
-        dtoks.where(F.size("_toks") >= 2)
-        .select(id_col, F.explode(_bigrams(F.col("_toks"))).alias("bg"))
+        dtoks.select(id_col, F.explode_outer(bg_arr).alias("bg"))
+        .where(F.col("bg").isNotNull())
         .select(id_col, F.col("bg.w1").alias("rw1"), F.col("bg.w2").alias("rw2"))
         .join(
             F.broadcast(vocab.select(F.col("term").alias("rw1"), F.lit(1).alias("_i1"))),

@@ -79,8 +79,15 @@ def hashed_ngram_counts(
     from psyndex2linkeddata_spark.operators.skew import fanout_partitions
 
     n_parts = fanout_partitions(df)
+    # explode_OUTER + an explicit null filter on the exploded ATTRIBUTE
+    # (r06): plain explode makes Catalyst infer a size>0 pre-filter that
+    # re-evaluates the whole multi-regex gram construction per row;
+    # gram_array CAN be empty (short docs), so unlike the shingle sites
+    # the null row must be dropped explicitly — the filter runs on the
+    # generated column and never re-inlines the construction.
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("_g"))
+        df.select(F.col(id_col), F.explode_outer(grams).alias("_g"))
+        .where(F.col("_g").isNotNull())
         .select(F.col(id_col), gram_bucket(F.col("_g"), n_buckets).alias("bucket"))
         .repartition(n_parts, id_col)
         .groupBy(id_col, "bucket")
