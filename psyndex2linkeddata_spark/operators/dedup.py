@@ -162,13 +162,128 @@ def minhash_signatures(
     num_hashes: int = 16,
     n: int = 3,
 ) -> DataFrame:
-    """(id, _sig array<string>) MinHash signatures via explode→groupBy.
+    """(id, _sig array<string>) MinHash signatures — dispatches to the
+    Arrow kernel (`_minhash_signatures_arrow`), byte-identical to the
+    explode→groupBy JVM form (`minhash_signatures_native`, kept as the
+    cross-check). See the kernel docstring for the exactness argument."""
+    return _minhash_signatures_arrow(df, id_col, text_col, num_hashes, n)
+
+
+def _minhash_signatures_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """(id, _sig array<string>) via one mapInArrow kernel over the
+    JVM-staged shingle arrays (r06 second Arrow wave).
+
+    All STRING SEMANTICS stay in the JVM: norm_text + shingle_array build
+    the shingle set with Catalyst expressions exactly as before, and the
+    kernel only ever sees their UTF-8 bytes through Arrow. Per batch it
+    dictionary-encodes the flattened shingle column — the corpus
+    vocabulary is tiny relative to the row stream, so each DISTINCT
+    shingle is hashed once per task instead of once per (row, digest) —
+    computes hashlib.md5(b"{g}:" + shingle_bytes) per digest group
+    (byte-identical to the JVM's md5(concat(lit, col)): Spark casts the
+    string to its UTF-8 bytes), carves each 16-byte digest into four
+    big-endian uint32 seed hashes (== seed_hash's 8-hex-char substrings),
+    takes the per-document minimum with one segmented numpy reduction,
+    and formats the minima back to 8-char lowercase hex. min over
+    fixed-width lowercase hex strings == min over the uint32 values, so
+    the output equals the JVM aggregation bit-for-bit (pinned by
+    tests/test_arrow_kernel_parity).
+
+    This replaces the per-row seed-hash evaluation + min(string)
+    SortAggregate (string buffers are not hash-aggregable) and its
+    doc-keyed exchange with a narrow map stage; the explicit id-keyed
+    repartition only sets kernel parallelism (the scan's partition count
+    is file-size-derived and can be tiny)."""
+    import pyarrow as pa
+
+    from psyndex2linkeddata_spark.operators.skew import fanout_partitions
+
+    ndig = (num_hashes + 3) // 4
+    prefixes = [f"{g}:".encode() for g in range(ndig)]
+
+    staged = df.select(
+        F.col(id_col), norm_text(F.col(text_col)).alias("_norm")
+    ).select(
+        F.col(id_col), shingle_array(F.col("_norm"), n).alias("_sh")
+    ).repartition(fanout_partitions(df), id_col)
+
+    id_t = staged.schema[id_col].dataType.simpleString()
+    out_ddl = ", ".join(
+        [f"{id_col} {id_t}"] + [f"_m{i} string" for i in range(num_hashes)]
+    )
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+
+        cache: dict = {}
+        for b in batches:
+            ids = b.column(0)
+            sh = b.column(1)
+            if sh.null_count:
+                raise ValueError("minhash kernel: unexpected null shingle array")
+            offs = np.asarray(sh.offsets)
+            offs = offs - offs[0]
+            if len(offs) <= 1:
+                continue
+            if not (np.diff(offs) > 0).all():
+                raise ValueError("minhash kernel: empty shingle array")
+            flat = sh.flatten()
+            de = flat.dictionary_encode()
+            dvals = de.dictionary.cast(pa.binary()).to_pylist()
+            idxs = de.indices.to_numpy()
+            seeds = np.empty((len(dvals), num_hashes), dtype=np.uint32)
+            for j, sb in enumerate(dvals):
+                got = cache.get(sb)
+                if got is None:
+                    parts = []
+                    for g in range(ndig):
+                        d = hashlib.md5(prefixes[g] + sb).digest()
+                        parts.extend(
+                            int.from_bytes(d[r * 4 : r * 4 + 4], "big")
+                            for r in range(4)
+                        )
+                    got = parts[:num_hashes]
+                    cache[sb] = got
+                seeds[j] = got
+            mins = np.minimum.reduceat(seeds[idxs], offs[:-1], axis=0)
+            cols = [ids] + [
+                pa.array(
+                    [format(int(v), "08x") for v in mins[:, i]], pa.string()
+                )
+                for i in range(num_hashes)
+            ]
+            yield pa.RecordBatch.from_arrays(cols, [id_col] + [f"_m{i}" for i in range(num_hashes)])
+
+    agg = staged.mapInArrow(kernel, out_ddl)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
+    )
+
+
+def minhash_signatures_native(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """(id, _sig array<string>) MinHash signatures via explode→groupBy —
+    the all-JVM cross-check form of `minhash_signatures`.
 
     One narrow explode of the codegen-built shingle array (shingle_array —
     no interpreted HOF), ceil(num_hashes/4) md5 digests per shingle row
     carved into 32-bit seed hashes (seed_hash), then a single
     groupBy(id).agg(min…) with map-side partial aggregation — one uniform
-    shuffle on the doc id. This is the scale path: the per-row HOF tower
+    shuffle on the doc id. The per-row HOF tower
     (minhash_signature) evaluates interpreted and recomputes the shingle
     array per seed. `shingle_array` always yields ≥1 element, so no rows
     are dropped."""
@@ -445,7 +560,86 @@ def simhash_hex(col: Column) -> Column:
 def simhash_hex_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash) — the DataFrame-level scale path for `simhash_hex`,
+    """(id, simhash) — dispatches to the Arrow kernel, value-identical
+    to the explode→32-vote-aggregate JVM form kept as
+    `simhash_hex_table_native` (see that docstring). Kernel exactness:
+    tokenization stays a JVM expression (`tokens`); the kernel
+    dictionary-encodes the flattened token column, md5s each DISTINCT
+    token's UTF-8 bytes once (byte-identical to the JVM md5), turns the
+    32 lowercase-hex digest chars into ±1 votes (char ≥ '8' ⇔ ASCII byte
+    ≥ 56 — hex digits are '0'-'9','a'-'f'), and takes per-document vote
+    sums with an exact integer prefix-sum difference (handles empty/null
+    token arrays as all-zero votes → '0'*32, exactly what the native
+    form's left-join restoration and null-token fold produce). Pinned by
+    tests/test_arrow_kernel_parity."""
+    return _simhash_hex_table_arrow(df, id_col, text_col)
+
+
+def _simhash_hex_table_arrow(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    import pyarrow as pa
+
+    from psyndex2linkeddata_spark.operators.skew import fanout_partitions
+
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).repartition(fanout_partitions(df), id_col)
+    id_t = staged.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+
+        cache: dict = {}
+        for b in batches:
+            ids = b.column(0)
+            tk = b.column(1)
+            n_rows = len(tk)
+            if n_rows == 0:
+                continue
+            offs = np.asarray(tk.offsets)
+            offs = offs - offs[0]
+            flat = tk.flatten()
+            if len(flat) == 0:
+                sums = np.zeros((n_rows, 32), dtype=np.int64)
+            else:
+                de = flat.dictionary_encode()
+                dvals = de.dictionary.cast(pa.binary()).to_pylist()
+                idxs = de.indices.to_numpy()
+                votes = np.empty((len(dvals), 32), dtype=np.int8)
+                for j, sb in enumerate(dvals):
+                    got = cache.get(sb)
+                    if got is None:
+                        h = hashlib.md5(sb).hexdigest().encode()
+                        got = (
+                            (np.frombuffer(h, dtype=np.uint8) >= 56).astype(
+                                np.int8
+                            )
+                            * 2
+                            - 1
+                        )
+                        cache[sb] = got
+                    votes[j] = got
+                cs = np.zeros((len(idxs) + 1, 32), dtype=np.int64)
+                np.cumsum(votes[idxs], axis=0, dtype=np.int64, out=cs[1:])
+                sums = cs[offs[1:]] - cs[offs[:-1]]
+            chars = np.where(sums > 0, np.uint8(ord("1")), np.uint8(ord("0")))
+            raw = chars.tobytes()
+            sigs = pa.array(
+                [raw[i * 32 : i * 32 + 32].decode() for i in range(n_rows)],
+                pa.string(),
+            )
+            yield pa.RecordBatch.from_arrays([ids, sigs], [id_col, "simhash"])
+
+    return staged.mapInArrow(kernel, f"{id_col} {id_t}, simhash string")
+
+
+def simhash_hex_table_native(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — the all-JVM DataFrame-level form of `simhash_hex`,
     value-identical bit strings (r06; measured 14.4s → ~3s at 50k docs).
 
     The per-row Column form folds a 32-wide vote accumulator through an

@@ -64,8 +64,107 @@ def hashed_ngram_counts(
     n_buckets: int = 1024,
     max_n: int = 2,
 ) -> DataFrame:
-    """(id, bucket, cnt): hashed uni..max_n-gram counts per document.
-    One narrow explode over staged gram arrays, one doc-keyed groupBy.
+    """(id, bucket, cnt): hashed uni..max_n-gram counts per document —
+    dispatches to the Arrow kernel; the explode→groupBy JVM form is kept
+    as `hashed_ngram_counts_native` (cross-check, pinned equal by
+    tests/test_arrow_kernel_parity)."""
+    return _hashed_ngram_counts_arrow(df, id_col, text_col, n_buckets, max_n)
+
+
+def _hashed_ngram_counts_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    max_n: int = 2,
+) -> DataFrame:
+    """(id, bucket, cnt) via one mapInArrow kernel over the JVM-staged
+    gram arrays (r06 second Arrow wave — the same
+    dictionary-encode-then-hash-distinct-values shape as the minhash
+    signature kernel).
+
+    String semantics stay in the JVM (norm_text + gram_array); the
+    kernel sees UTF-8 bytes. Per batch: dictionary-encode the flattened
+    gram column (the gram vocabulary is far smaller than the gram
+    stream), bucket each DISTINCT gram once as
+    int.from_bytes(md5(bytes)[:4], 'big') % B — byte-identical to the
+    JVM's conv(substring(md5(g),1,8),16,10) % B, both the unsigned
+    big-endian value of the first 32 digest bits — and count (doc,
+    bucket) pairs with one np.unique over docindex*B + bucket keys. A
+    document is one input row, so its counts are complete within its
+    batch and the (id, bucket) grain is final — the per-row interpreted
+    conv, the explode, the explicit exchange and both aggregations all
+    disappear. Docs with no grams emit nothing, exactly like the
+    explode_outer + isNotNull form."""
+    import pyarrow as pa
+
+    from psyndex2linkeddata_spark.operators.skew import fanout_partitions
+
+    norm = norm_text(F.col(text_col))
+    grams = F.concat(*[gram_array(norm, n) for n in range(1, max_n + 1)])
+    staged = df.select(F.col(id_col), grams.alias("_g")).repartition(
+        fanout_partitions(df), id_col
+    )
+    id_t = staged.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+
+        cache: dict = {}
+        for b in batches:
+            ids = b.column(0)
+            g = b.column(1)
+            if len(g) == 0:
+                continue
+            offs = np.asarray(g.offsets)
+            offs = offs - offs[0]
+            flat = g.flatten()
+            if len(flat) == 0:
+                continue
+            de = flat.dictionary_encode()
+            dvals = de.dictionary.cast(pa.binary()).to_pylist()
+            idxs = de.indices.to_numpy()
+            buckets = np.empty(len(dvals), dtype=np.int64)
+            for j, sb in enumerate(dvals):
+                got = cache.get(sb)
+                if got is None:
+                    got = (
+                        int.from_bytes(hashlib.md5(sb).digest()[:4], "big")
+                        % n_buckets
+                    )
+                    cache[sb] = got
+                buckets[j] = got
+            docidx = np.repeat(
+                np.arange(len(g), dtype=np.int64), np.diff(offs)
+            )
+            key = docidx * n_buckets + buckets[idxs]
+            uniq, counts = np.unique(key, return_counts=True)
+            out_ids = ids.take(pa.array(uniq // n_buckets))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    out_ids,
+                    pa.array((uniq % n_buckets).astype(np.int32)),
+                    pa.array(counts.astype(np.int64)),
+                ],
+                [id_col, "bucket", "cnt"],
+            )
+
+    return staged.mapInArrow(
+        kernel, f"{id_col} {id_t}, bucket int, cnt bigint"
+    )
+
+
+def hashed_ngram_counts_native(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    max_n: int = 2,
+) -> DataFrame:
+    """(id, bucket, cnt) — the all-JVM form of `hashed_ngram_counts`:
+    one narrow explode over staged gram arrays, one doc-keyed groupBy.
 
     The explicit doc-keyed exchange (r06) fixes the same AQE blind spot
     as the bm25 postings build: the (id, bucket) aggregation's exchange

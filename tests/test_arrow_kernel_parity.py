@@ -1,0 +1,85 @@
+"""r06 second Arrow wave: the dictionary-encode-then-hash-distinct
+kernels (minhash signatures, simhash vote table, DSIR hashed n-gram
+counts) must equal their all-JVM cross-check forms BIT-FOR-BIT — the
+kernels only reproduce byte arithmetic (md5 over the JVM-built strings'
+UTF-8 bytes, integer vote sums, fixed-width hex minima); every string
+semantic (lowercase, tokenization, shingling) stays a Catalyst
+expression upstream of the kernel."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from psyndex2linkeddata_spark.operators.dedup import (
+    _minhash_signatures_arrow,
+    _simhash_hex_table_arrow,
+    minhash_signatures_native,
+    simhash_hex_table_native,
+)
+from psyndex2linkeddata_spark.operators.selection import (
+    _hashed_ngram_counts_arrow,
+    hashed_ngram_counts_native,
+)
+
+EDGES = [
+    (900001, ""),
+    (900002, "   \t\n "),
+    (900003, "ß İ 高 éclair ß İ 高"),  # non-ASCII: UTF-8 bytes must match
+    (900004, "one"),
+    (900005, None),
+    (900006, "a\tb\nc d a\tb\nc d a b c e f g h i j k"),
+    (900007, "dup dup dup dup dup dup dup dup dup dup"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    import random
+
+    rng = random.Random(42)
+    vocab = [
+        "batch", "part", "spark", "line", "column", "order", "small",
+        "sort", "fast", "value", "scan", "hash", "slow", "group", "agg",
+    ]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60))))
+        for i in range(300)
+    ]
+    # a few near-duplicate copies so signature minima collide
+    rows += [(1000 + i, rows[i][1] + " dup") for i in range(20)]
+    d = spark.createDataFrame(rows + EDGES, "doc_id long, text string")
+    return d.repartition(5)
+
+
+@pytest.mark.parametrize("num_hashes", [8, 16])
+def test_minhash_signatures_arrow_matches_native(corpus, num_hashes):
+    a = _minhash_signatures_arrow(corpus, num_hashes=num_hashes, n=3)
+    b = minhash_signatures_native(corpus, num_hashes=num_hashes, n=3)
+    j = a.withColumnRenamed("_sig", "sa").join(
+        b.withColumnRenamed("_sig", "sb"), "doc_id", "full"
+    )
+    bad = j.where(
+        F.col("sa").isNull() | F.col("sb").isNull() | (F.col("sa") != F.col("sb"))
+    )
+    assert bad.count() == 0
+    assert a.count() == corpus.count()
+
+
+def test_simhash_hex_arrow_matches_native(corpus):
+    a = _simhash_hex_table_arrow(corpus).withColumnRenamed("simhash", "sa")
+    b = simhash_hex_table_native(corpus).withColumnRenamed("simhash", "sb")
+    j = a.join(b, "doc_id", "full")
+    bad = j.where(
+        F.col("sa").isNull() | F.col("sb").isNull() | (F.col("sa") != F.col("sb"))
+    )
+    assert bad.count() == 0
+    assert a.count() == corpus.count()
+
+
+def test_hashed_ngram_counts_arrow_matches_native(corpus):
+    a = _hashed_ngram_counts_arrow(corpus, n_buckets=256, max_n=2)
+    b = hashed_ngram_counts_native(corpus, n_buckets=256, max_n=2)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() == b.count()
