@@ -896,35 +896,30 @@ def q_bpe_tokens(spark, sf):
 
 
 def q_fingerprints(spark, sf):
-    """rolling_fp via the codegen shingle_array (r06): SET-equal to the
-    shingles_of tower it replaces (both distinct; <5-token docs yield the
-    whole normalized text on either path), and array_min(md5) over the
-    same set is the same value — while the transform/slice HOF tower
-    evaluated interpreted. Both the normalized text and the shingle
-    array are staged as attributes so nothing re-computes per element."""
+    """rolling_fp as the with_rolling_fp Arrow kernel (r06 second wave):
+    byte-identical to array_min(transform(shingle_array(_norm, 5), md5))
+    — the 5-gram shingles are byte slices of the single-space normalized
+    text, md5'd over the same UTF-8 bytes, and a minimum is
+    duplicate-insensitive (pinned by tests/test_arrow_kernel_parity).
+    The multi-regex shingle construction (the profile's dominant cost)
+    and the interpreted per-(row, shingle) HOF md5 both disappear; fp
+    and bag_fp stay JVM expressions (cheap single-md5 columns, and fp
+    must preserve NULL text as NULL, which norm_text coalesces away)."""
     from psyndex2linkeddata_spark.functions.textstats import (
         bag_fingerprint,
         fingerprint,
+        with_rolling_fp,
     )
-    from psyndex2linkeddata_spark.operators.dedup import norm_text, shingle_array
+    from psyndex2linkeddata_spark.operators.dedup import norm_text
 
     d = _t(spark, sf, "documents")
-    return d.select(
+    staged = d.select(
         "doc_id",
         fingerprint(F.col("text")).alias("fp"),
         bag_fingerprint(F.col("text")).alias("bag_fp"),
         norm_text(F.col("text")).alias("_norm"),
-    ).select(
-        "doc_id",
-        "fp",
-        "bag_fp",
-        shingle_array(F.col("_norm"), 5).alias("_sh5"),
-    ).select(
-        "doc_id",
-        "fp",
-        "bag_fp",
-        F.array_min(F.transform(F.col("_sh5"), F.md5)).alias("rolling_fp"),
     )
+    return with_rolling_fp(staged, "_norm", 5, "rolling_fp")
 
 
 # --------------------------------------------------------------------------

@@ -168,6 +168,61 @@ def rolling_fingerprint(col: Column, n: int = 5) -> Column:
     return rolling_fingerprint_of(tokens(col), n)
 
 
+def with_rolling_fp(staged, norm_col: str, n: int = 5, out_col: str = "rolling_fp"):
+    """staged (any columns + `norm_col` = norm_text output) → same rows
+    with norm_col replaced by out_col = the rolling fingerprint
+    min(md5(shingle)) as lowercase hex, computed in one mapInArrow
+    kernel (r06 second Arrow wave) — byte-identical to
+    array_min(transform(shingle_array(norm, n), md5)).
+
+    Exactness: norm_text is single-space separated, so the kernel's
+    `norm.split(b" ")` (empties dropped) is byte-for-byte the JVM's
+    `\\S+` token run set and b" "-joined n-token windows are exactly the
+    substrings shingle_array extracts; docs with < n tokens use the
+    whole norm, as shingle_array's otherwise-branch does. md5 runs over
+    the same UTF-8 bytes the JVM hashes; a MINIMUM is
+    duplicate-insensitive so array_distinct is irrelevant; and min over
+    the digests' hex strings == min over digest bytes (hex encodes
+    bytes monotonically) == the JVM's UTF8String binary compare. The
+    interpreted transform+array_min HOF and the multi-regex shingle
+    construction both disappear. Pinned equal by
+    tests/test_arrow_kernel_parity."""
+    import pyarrow as pa
+
+    other = [c for c in staged.columns if c != norm_col]
+    fields = ", ".join(
+        [f"{c} {staged.schema[c].dataType.simpleString()}" for c in other]
+        + [f"{out_col} string"]
+    )
+
+    def kernel(batches):
+        from hashlib import md5
+
+        for b in batches:
+            names = b.schema.names
+            norms = b.column(names.index(norm_col)).cast(pa.binary()).to_pylist()
+            if len(norms) == 0:
+                continue
+            mins = []
+            for nb in norms:
+                toks = [t for t in nb.split(b" ") if t]
+                if len(toks) >= n:
+                    best = None
+                    for i in range(len(toks) - n + 1):
+                        h = md5(b" ".join(toks[i : i + n])).hexdigest()
+                        if best is None or h < best:
+                            best = h
+                else:
+                    best = md5(nb).hexdigest()
+                mins.append(best)
+            cols = [b.column(names.index(c)) for c in other] + [
+                pa.array(mins, pa.string())
+            ]
+            yield pa.RecordBatch.from_arrays(cols, other + [out_col])
+
+    return staged.mapInArrow(kernel, fields)
+
+
 def repetition_stats(
     df: "DataFrame",
     id_col: str = "doc_id",

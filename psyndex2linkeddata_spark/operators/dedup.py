@@ -199,7 +199,24 @@ def _minhash_signatures_arrow(
     SortAggregate (string buffers are not hash-aggregable) and its
     doc-keyed exchange with a narrow map stage; the explicit id-keyed
     repartition only sets kernel parallelism (the scan's partition count
-    is file-size-derived and can be tiny)."""
+    is file-size-derived and can be tiny).
+
+    The kernel builds the shingles itself as BYTE SLICES of the
+    normalized text (second pass: the multi-regex shingle_array
+    construction was the dominant cost left). Exactness: norm_text is
+    single-space separated by construction, so `norm.split(b" ")`
+    (empties dropped) is byte-for-byte the JVM's `\\S+` token run set,
+    and joining n-token windows with b" " reproduces exactly the
+    substrings shingle_array extracts; docs with < n tokens yield [norm]
+    on both paths. array_distinct is dropped because a MINIMUM over seed
+    hashes is duplicate-insensitive. One quirk replicated deliberately:
+    when norm starts with a space (possible only for text whose leading
+    whitespace is non-0x20 — trim strips spaces, the \\s+ collapse then
+    leaves one), shingle_array's offset-strip regex `^(?:\\S+ ){o}`
+    cannot match, every offset degenerates to offset 0, and the distinct
+    set is just the NON-OVERLAPPING windows from token 0 — the kernel
+    enumerates windows with stride n in that case (pinned by the
+    leading-tab row of tests/test_arrow_kernel_parity)."""
     import pyarrow as pa
 
     from psyndex2linkeddata_spark.operators.skew import fanout_partitions
@@ -209,8 +226,6 @@ def _minhash_signatures_arrow(
 
     staged = df.select(
         F.col(id_col), norm_text(F.col(text_col)).alias("_norm")
-    ).select(
-        F.col(id_col), shingle_array(F.col("_norm"), n).alias("_sh")
     ).repartition(fanout_partitions(df), id_col)
 
     id_t = staged.schema[id_col].dataType.simpleString()
@@ -218,49 +233,59 @@ def _minhash_signatures_arrow(
         [f"{id_col} {id_t}"] + [f"_m{i} string" for i in range(num_hashes)]
     )
 
-    def kernel(batches):
-        import hashlib
+    def _seeds_of(sb: bytes) -> list:
+        parts = []
+        for g in range(ndig):
+            d = hashlib_md5(prefixes[g] + sb).digest()
+            parts.extend(
+                int.from_bytes(d[r * 4 : r * 4 + 4], "big") for r in range(4)
+            )
+        return parts[:num_hashes]
 
+    from hashlib import md5 as hashlib_md5
+
+    def kernel(batches):
         import numpy as np
 
         cache: dict = {}
         for b in batches:
             ids = b.column(0)
-            sh = b.column(1)
-            if sh.null_count:
-                raise ValueError("minhash kernel: unexpected null shingle array")
-            offs = np.asarray(sh.offsets)
-            offs = offs - offs[0]
-            if len(offs) <= 1:
+            norms = b.column(1).cast(pa.binary()).to_pylist()
+            n_rows = len(norms)
+            if n_rows == 0:
                 continue
-            if not (np.diff(offs) > 0).all():
-                raise ValueError("minhash kernel: empty shingle array")
-            flat = sh.flatten()
-            de = flat.dictionary_encode()
-            dvals = de.dictionary.cast(pa.binary()).to_pylist()
-            idxs = de.indices.to_numpy()
-            seeds = np.empty((len(dvals), num_hashes), dtype=np.uint32)
-            for j, sb in enumerate(dvals):
-                got = cache.get(sb)
-                if got is None:
-                    parts = []
-                    for g in range(ndig):
-                        d = hashlib.md5(prefixes[g] + sb).digest()
-                        parts.extend(
-                            int.from_bytes(d[r * 4 : r * 4 + 4], "big")
-                            for r in range(4)
+            mins = np.empty((n_rows, num_hashes), dtype=np.uint32)
+            for r, nb in enumerate(norms):
+                toks = [t for t in nb.split(b" ") if t]
+                row = None
+                if len(toks) >= n:
+                    stride = n if nb.startswith(b" ") else 1
+                    for i in range(0, len(toks) - n + 1, stride):
+                        sb = b" ".join(toks[i : i + n])
+                        got = cache.get(sb)
+                        if got is None:
+                            got = _seeds_of(sb)
+                            cache[sb] = got
+                        row = (
+                            got
+                            if row is None
+                            else [min(a, c) for a, c in zip(row, got)]
                         )
-                    got = parts[:num_hashes]
-                    cache[sb] = got
-                seeds[j] = got
-            mins = np.minimum.reduceat(seeds[idxs], offs[:-1], axis=0)
+                else:
+                    row = cache.get(nb)
+                    if row is None:
+                        row = _seeds_of(nb)
+                        cache[nb] = row
+                mins[r] = row
             cols = [ids] + [
                 pa.array(
                     [format(int(v), "08x") for v in mins[:, i]], pa.string()
                 )
                 for i in range(num_hashes)
             ]
-            yield pa.RecordBatch.from_arrays(cols, [id_col] + [f"_m{i}" for i in range(num_hashes)])
+            yield pa.RecordBatch.from_arrays(
+                cols, [id_col] + [f"_m{i}" for i in range(num_hashes)]
+            )
 
     agg = staged.mapInArrow(kernel, out_ddl)
     return agg.select(
@@ -414,6 +439,19 @@ def ngram_jaccard_pairs(
     pair_parallelism: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    AUDITED AND KEPT NATIVE in the r06 second Arrow wave (negative
+    result, measured at the 50k-doc corpus): a full Python pair kernel
+    (byte-slice shingle rows → shingle-keyed exchange → vectorized
+    per-bucket triu pair expansion + np.unique partial counts) LOST
+    20.8s vs 12.6s — the ~67M distinct (id_a, id_b) partial counts must
+    cross the Arrow boundary and a shuffle either way, while the codegen
+    sort-merge join feeds its hash aggregate without materializing pairs
+    anywhere; the milder hybrid (Python shingle rows only, native
+    join/agg tail) also LOST, 17.1s vs 12.6s — the Arrow round-trip of
+    the 2.6M exploded shingle rows costs more than the regex
+    construction it saves when no aggregation collapses inside the
+    kernel.
 
     explode→self-join on shingle→count intersections→|A∪B| from per-doc
     sizes. `max_shingle_freq` drops boilerplate shingles (the skew guard:
@@ -582,8 +620,13 @@ def _simhash_hex_table_arrow(
 
     from psyndex2linkeddata_spark.operators.skew import fanout_partitions
 
+    # the kernel tokenizes the JVM-normalized text itself (norm_text is
+    # single-space separated; splitting on the space byte with empties
+    # dropped is byte-for-byte the `tokens` expression's output — same
+    # argument as the minhash kernel) so neither the JVM split+filter
+    # nor a list<string> Arrow column is paid
     staged = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col), norm_text(F.col(text_col)).alias("_norm")
     ).repartition(fanout_partitions(df), id_col)
     id_t = staged.schema[id_col].dataType.simpleString()
 
@@ -595,36 +638,30 @@ def _simhash_hex_table_arrow(
         cache: dict = {}
         for b in batches:
             ids = b.column(0)
-            tk = b.column(1)
-            n_rows = len(tk)
+            norms = b.column(1).cast(pa.binary()).to_pylist()
+            n_rows = len(norms)
             if n_rows == 0:
                 continue
-            offs = np.asarray(tk.offsets)
-            offs = offs - offs[0]
-            flat = tk.flatten()
-            if len(flat) == 0:
-                sums = np.zeros((n_rows, 32), dtype=np.int64)
-            else:
-                de = flat.dictionary_encode()
-                dvals = de.dictionary.cast(pa.binary()).to_pylist()
-                idxs = de.indices.to_numpy()
-                votes = np.empty((len(dvals), 32), dtype=np.int8)
-                for j, sb in enumerate(dvals):
-                    got = cache.get(sb)
+            sums = np.zeros((n_rows, 32), dtype=np.int64)
+            for r, nb in enumerate(norms):
+                acc = None
+                for t in nb.split(b" "):
+                    if not t:
+                        continue
+                    got = cache.get(t)
                     if got is None:
-                        h = hashlib.md5(sb).hexdigest().encode()
+                        h = hashlib.md5(t).hexdigest().encode()
                         got = (
                             (np.frombuffer(h, dtype=np.uint8) >= 56).astype(
-                                np.int8
+                                np.int64
                             )
                             * 2
                             - 1
                         )
-                        cache[sb] = got
-                    votes[j] = got
-                cs = np.zeros((len(idxs) + 1, 32), dtype=np.int64)
-                np.cumsum(votes[idxs], axis=0, dtype=np.int64, out=cs[1:])
-                sums = cs[offs[1:]] - cs[offs[:-1]]
+                        cache[t] = got
+                    acc = got if acc is None else acc + got
+                if acc is not None:
+                    sums[r] = acc
             chars = np.where(sums > 0, np.uint8(ord("1")), np.uint8(ord("0")))
             raw = chars.tobytes()
             sigs = pa.array(

@@ -83,28 +83,30 @@ def _hashed_ngram_counts_arrow(
     dictionary-encode-then-hash-distinct-values shape as the minhash
     signature kernel).
 
-    String semantics stay in the JVM (norm_text + gram_array); the
-    kernel sees UTF-8 bytes. Per batch: dictionary-encode the flattened
-    gram column (the gram vocabulary is far smaller than the gram
-    stream), bucket each DISTINCT gram once as
+    String semantics stay in the JVM (norm_text); the kernel sees UTF-8
+    bytes and builds the grams itself as byte slices of the normalized
+    text (norm_text is single-space separated, so splitting on the space
+    byte with empties dropped is byte-for-byte the gram_array token run
+    set, and joining n-token windows with b" " reproduces exactly the
+    substrings gram_array extracts — multiplicity preserved). Each
+    DISTINCT gram is bucketed once per task as
     int.from_bytes(md5(bytes)[:4], 'big') % B — byte-identical to the
     JVM's conv(substring(md5(g),1,8),16,10) % B, both the unsigned
-    big-endian value of the first 32 digest bits — and count (doc,
-    bucket) pairs with one np.unique over docindex*B + bucket keys. A
-    document is one input row, so its counts are complete within its
-    batch and the (id, bucket) grain is final — the per-row interpreted
-    conv, the explode, the explicit exchange and both aggregations all
-    disappear. Docs with no grams emit nothing, exactly like the
-    explode_outer + isNotNull form."""
+    big-endian value of the first 32 digest bits — and (doc, bucket)
+    pairs are counted with one np.unique over docindex*B + bucket keys.
+    A document is one input row, so its counts are complete within its
+    batch and the (id, bucket) grain is final — the multi-regex gram
+    construction, the per-row interpreted conv, the explode, the
+    explicit exchange and both aggregations all disappear. Docs with no
+    grams emit nothing, exactly like the explode_outer + isNotNull
+    form."""
     import pyarrow as pa
 
     from psyndex2linkeddata_spark.operators.skew import fanout_partitions
 
-    norm = norm_text(F.col(text_col))
-    grams = F.concat(*[gram_array(norm, n) for n in range(1, max_n + 1)])
-    staged = df.select(F.col(id_col), grams.alias("_g")).repartition(
-        fanout_partitions(df), id_col
-    )
+    staged = df.select(
+        F.col(id_col), norm_text(F.col(text_col)).alias("_norm")
+    ).repartition(fanout_partitions(df), id_col)
     id_t = staged.schema[id_col].dataType.simpleString()
 
     def kernel(batches):
@@ -113,33 +115,55 @@ def _hashed_ngram_counts_arrow(
         import numpy as np
 
         cache: dict = {}
+
+        def _bucket(sb: bytes) -> int:
+            got = cache.get(sb)
+            if got is None:
+                got = (
+                    int.from_bytes(hashlib.md5(sb).digest()[:4], "big")
+                    % n_buckets
+                )
+                cache[sb] = got
+            return got
+
         for b in batches:
             ids = b.column(0)
-            g = b.column(1)
-            if len(g) == 0:
+            norms = b.column(1).cast(pa.binary()).to_pylist()
+            if len(norms) == 0:
                 continue
-            offs = np.asarray(g.offsets)
-            offs = offs - offs[0]
-            flat = g.flatten()
-            if len(flat) == 0:
+            docidx: list = []
+            buckets: list = []
+            for r, nb in enumerate(norms):
+                toks = [t for t in nb.split(b" ") if t]
+                if not toks:
+                    continue
+                row_buckets = [_bucket(t) for t in toks]
+                # gram_array quirk replicated (see the kernel docstring
+                # note in operators/dedup._minhash_signatures_arrow):
+                # leading-space norm degenerates every offset to offset
+                # 0, and gram_array CONCATS without distinct — n copies
+                # of the stride-n windows
+                leading = nb.startswith(b" ")
+                for n in range(2, max_n + 1):
+                    if leading:
+                        row_buckets.extend(
+                            _bucket(b" ".join(toks[i : i + n]))
+                            for _ in range(n)
+                            for i in range(0, len(toks) - n + 1, n)
+                        )
+                    else:
+                        row_buckets.extend(
+                            _bucket(b" ".join(toks[i : i + n]))
+                            for i in range(len(toks) - n + 1)
+                        )
+                buckets.extend(row_buckets)
+                docidx.extend([r] * len(row_buckets))
+            if not buckets:
                 continue
-            de = flat.dictionary_encode()
-            dvals = de.dictionary.cast(pa.binary()).to_pylist()
-            idxs = de.indices.to_numpy()
-            buckets = np.empty(len(dvals), dtype=np.int64)
-            for j, sb in enumerate(dvals):
-                got = cache.get(sb)
-                if got is None:
-                    got = (
-                        int.from_bytes(hashlib.md5(sb).digest()[:4], "big")
-                        % n_buckets
-                    )
-                    cache[sb] = got
-                buckets[j] = got
-            docidx = np.repeat(
-                np.arange(len(g), dtype=np.int64), np.diff(offs)
+            key = (
+                np.asarray(docidx, dtype=np.int64) * n_buckets
+                + np.asarray(buckets, dtype=np.int64)
             )
-            key = docidx * n_buckets + buckets[idxs]
             uniq, counts = np.unique(key, return_counts=True)
             out_ids = ids.take(pa.array(uniq // n_buckets))
             yield pa.RecordBatch.from_arrays(

@@ -30,6 +30,10 @@ EDGES = [
     (900005, None),
     (900006, "a\tb\nc d a\tb\nc d a b c e f g h i j k"),
     (900007, "dup dup dup dup dup dup dup dup dup dup"),
+    (900008, "\tlead space  multi   gap nbsp end "),
+    # leading tab -> leading space in norm: shingle_array/gram_array
+    # degenerate to stride-n windows (gram_array additionally n-plicates)
+    (900009, "\tt0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
 ]
 
 
@@ -83,3 +87,21 @@ def test_hashed_ngram_counts_arrow_matches_native(corpus):
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
     assert a.count() == b.count()
+
+
+def test_rolling_fp_kernel_matches_expression(corpus):
+    from psyndex2linkeddata_spark.functions.textstats import with_rolling_fp
+    from psyndex2linkeddata_spark.operators.dedup import norm_text, shingle_array
+
+    staged = corpus.select(
+        "doc_id", norm_text(F.col("text")).alias("_norm")
+    )
+    a = with_rolling_fp(staged, "_norm", 5)
+    b = staged.select(
+        "doc_id",
+        F.array_min(
+            F.transform(shingle_array(F.col("_norm"), 5), F.md5)
+        ).alias("rolling_fp"),
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
