@@ -134,7 +134,137 @@ def nb_scores(
     decimal logprior + Σ token log-likelihoods. Docs whose tokens are all
     OOV still get every label's prior (via the docs × priors frame).
     `broadcast_model=False` falls back to a shuffle join for a vocab too
-    large to broadcast."""
+    large to broadcast.
+
+    broadcast_model=True (the scale default — the model is vocab×labels,
+    bounded by nb_train's min_df lever) dispatches to an Arrow scoring
+    kernel (r06 second wave): the model and priors are collected once —
+    the same bound that lets the native plan broadcast them — into a
+    vocab-indexed (V × L) matrix of unscaled-bigint log-likelihoods; per
+    document the kernel re-derives the token stream from the JVM-lowered
+    text (tokenize_terms' [^a-z0-9]+ split replicated byte-for-byte on
+    the UTF-8 bytes — see operators/lm.lm_mean_nll), drops OOV tokens
+    (exact byte-equality vocab lookup, the inner join's behavior), and
+    sums each label's column with one vectorized gather + prefix-sum per
+    batch — the token explode, the broadcast join fan-out (×L rows per
+    token), the doc-keyed aggregation exchange AND the final left join
+    all disappear, and every (doc, label) row is emitted exactly once.
+    Sums of unscaled bigints are exact; the decimal reconstruction and
+    the prior addition stay the identical JVM expressions. Pinned equal
+    to the native form by tests/test_arrow_kernel_parity."""
+    if broadcast_model:
+        return _nb_scores_arrow(docs, model, priors, id_col, text_col)
+    return nb_scores_native(
+        docs, model, priors, id_col, text_col, broadcast_model
+    )
+
+
+def _nb_scores_arrow(
+    docs: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    import numpy as np
+
+    from psyndex2linkeddata_spark.operators.retrieval import _unscaled_to_decimal
+
+    labels = sorted(r["label"] for r in priors.select("label").distinct().collect())
+    lidx = {l: i for i, l in enumerate(labels)}
+    L = len(labels)
+    mrows = model.select(
+        "token",
+        "label",
+        (F.col("ll").cast("decimal(16,10)") * F.lit(10_000_000_000))
+        .cast("long")
+        .alias("_lll"),
+    ).collect()
+    vmap: dict = {}
+    entries: list = []
+    for r in mrows:
+        li = lidx.get(r["label"])
+        if li is None:
+            # labels absent from priors are dropped by the native
+            # crossJoin(priors) left join — drop them here too
+            continue
+        ti = vmap.setdefault(r["token"].encode(), len(vmap))
+        entries.append((ti, li, r["_lll"]))
+    ll_mat = np.zeros((len(vmap), L), dtype=np.int64)
+    for ti, li, v in entries:
+        ll_mat[ti, li] = v
+
+    sep = bytes(
+        b if chr(b) in "abcdefghijklmnopqrstuvwxyz0123456789" else 0x20
+        for b in range(256)
+    )
+    staged = docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("_low"))
+    id_t = staged.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            ids = b.column(0)
+            lows = b.column(1).cast(pa.binary()).to_pylist()
+            n_rows = len(lows)
+            if n_rows == 0:
+                continue
+            flat: list = []
+            lens = np.empty(n_rows, dtype=np.int64)
+            for r, nb in enumerate(lows):
+                hits = [
+                    ti
+                    for ti in (
+                        vmap.get(t) for t in (nb or b"").translate(sep).split()
+                    )
+                    if ti is not None
+                ]
+                lens[r] = len(hits)
+                flat.extend(hits)
+            if flat:
+                gathered = ll_mat[np.asarray(flat, dtype=np.int64)]
+                cs = np.zeros((len(flat) + 1, L), dtype=np.int64)
+                np.cumsum(gathered, axis=0, dtype=np.int64, out=cs[1:])
+                ends = np.cumsum(lens)
+                sums = cs[ends] - cs[ends - lens]
+            else:
+                sums = np.zeros((n_rows, L), dtype=np.int64)
+            rep_idx = pa.array(np.repeat(np.arange(n_rows), L))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(rep_idx),
+                    pa.array(labels * n_rows, pa.string()),
+                    pa.array(sums.ravel()),
+                ],
+                [id_col, "label", "_tok_sum_l"],
+            )
+
+    scored = staged.mapInArrow(
+        kernel, f"{id_col} {id_t}, label string, _tok_sum_l bigint"
+    )
+    return scored.join(F.broadcast(priors), "label").select(
+        F.col(id_col),
+        F.col("label"),
+        (
+            F.col("logprior")
+            + _unscaled_to_decimal(F.col("_tok_sum_l"))
+        )
+        .cast(_DEC)
+        .alias("score"),
+    )
+
+
+def nb_scores_native(
+    docs: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """The all-JVM form of nb_scores (cross-check / too-big-to-collect
+    fallback)."""
     # the per-token fan-out sums UNSCALED bigints of the decimal ll
     # (converted once per model row — the model is vocab×labels, tiny
     # next to the corpus token stream); a bigint sum of unscaled values

@@ -62,11 +62,15 @@ def lm_mean_nll(
     alpha: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scoring: str = "arrow",
 ) -> DataFrame:
     """(doc_id, n_bigrams, mean_nll): mean negative log-likelihood of
     each document under the bigram model trained on `model_docs`.
     mean_nll is exact-decimal-sum / n_bigrams rendered as a double;
-    lower = more target-like. Docs with < 2 tokens get NULL mean_nll."""
+    lower = more target-like. Docs with < 2 tokens get NULL mean_nll.
+    `scoring='native'` selects the all-JVM scoring tail (cross-check;
+    pinned equal to the default Arrow kernel by
+    tests/test_arrow_kernel_parity)."""
     if vocab_size <= 0:
         raise ValueError("vocab_size must be > 0")
     mtoks = model_docs.select(
@@ -156,7 +160,162 @@ def lm_mean_nll(
             .alias("l_num"),
         )
     )
-    # ---- scoring pass over `docs` ----
+    # score with UNSCALED bigints of the decimal(20,10) model logs —
+    # converted once per (tiny) model row, summed as longs across the
+    # corpus bigram stream, reconstructed exactly for the output (the
+    # operators/retrieval pattern; |log| < 10^6 so every cast is exact
+    # and a doc's sum stays far inside bigint)
+    from psyndex2linkeddata_spark.operators.retrieval import _unscaled_to_decimal
+
+    def _l(c: str):
+        return (
+            F.col(c).cast("decimal(16,10)") * F.lit(10_000_000_000)
+        ).cast("long")
+
+    bigram_l = bigram.select("w1", "w2", _l("l_num").alias("_num_l"))
+    backoff_l = backoff.select("w2", _l("l_backoff").alias("_back_l"))
+    denom_l = denom.select("w1", _l("l_denom").alias("_den_l"))
+    if scoring == "native":
+        return _lm_score_native(
+            docs, vocab, bigram_l, backoff_l, denom_l, id_col, text_col
+        )
+    # ---- Arrow scoring kernel (r06 second wave) ----
+    # The model is bounded by construction (V+1 backoff/denominator
+    # rows, ≤ (V+1)² seen-bigram rows — the same bound that lets the
+    # native plan broadcast all three tables), so it is collected once
+    # and closed over, exactly like the bm25 query mask and the
+    # semantic-dedup centroids. The kernel replaces the interpreted
+    # zip_with bigram construction, the explode, three broadcast joins,
+    # the doc-keyed aggregation exchange AND the final left join: per
+    # document it re-derives the token stream from the JVM-lowered text
+    # (tokenize_terms splits on the ASCII class [^a-z0-9]+ — token bytes
+    # are pure ASCII alnum and UTF-8 continuation bytes are ≥ 0x80, so
+    # mapping every non-[a-z0-9] BYTE to space and splitting reproduces
+    # the codepoint split byte-for-byte; the Unicode-aware lower() stays
+    # in the JVM), maps tokens to vocab indices (exact byte equality;
+    # miss → <unk>, the same when/join fallback), sums the unscaled
+    # bigint log-probs with one vectorized searchsorted lookup per
+    # batch, and emits ONE row per document. Sums of unscaled bigints
+    # are exact; the decimal reconstruction, the double division and the
+    # round(…, 4) stay the identical JVM expressions. Pinned equal to
+    # the all-JVM form by tests/test_arrow_kernel_parity.
+    vocab_terms = [r[0] for r in vocab.collect()]
+    vmap = {t.encode(): i for i, t in enumerate(vocab_terms)}
+    V1 = len(vocab_terms) + 1  # + <unk>
+    unk_i = V1 - 1
+
+    def _widx(w: str) -> int:
+        return unk_i if w == UNK else vmap[w.encode()]
+
+    import numpy as np
+
+    back_arr = np.zeros(V1, dtype=np.int64)
+    for r in backoff_l.collect():
+        back_arr[_widx(r["w2"])] = r["_back_l"]
+    den_arr = np.zeros(V1, dtype=np.int64)
+    for r in denom_l.collect():
+        den_arr[_widx(r["w1"])] = r["_den_l"]
+    big_rows = bigram_l.collect()
+    bkeys = np.array(
+        sorted(_widx(r["w1"]) * V1 + _widx(r["w2"]) for r in big_rows),
+        dtype=np.int64,
+    )
+    bvals = np.empty(len(big_rows), dtype=np.int64)
+    order = {k: p for p, k in enumerate(bkeys.tolist())}
+    for r in big_rows:
+        bvals[order[_widx(r["w1"]) * V1 + _widx(r["w2"])]] = r["_num_l"]
+
+    sep = bytes(
+        b if chr(b) in "abcdefghijklmnopqrstuvwxyz0123456789" else 0x20
+        for b in range(256)
+    )
+
+    staged = docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("_low"))
+    id_t = staged.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            ids = b.column(0)
+            lows = b.column(1).cast(pa.binary()).to_pylist()
+            n_rows = len(lows)
+            if n_rows == 0:
+                continue
+            flat: list = []
+            lens = np.empty(n_rows, dtype=np.int64)
+            for r, nb in enumerate(lows):
+                toks = (nb or b"").translate(sep).split()
+                lens[r] = len(toks)
+                flat.extend(vmap.get(t, unk_i) for t in toks)
+            ids_flat = np.asarray(flat, dtype=np.int64)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            # bigram positions: every adjacent pair NOT crossing a doc
+            # boundary; per-doc sums via prefix sums of the masked lps
+            if len(ids_flat) >= 2:
+                w1 = ids_flat[:-1]
+                w2 = ids_flat[1:]
+                if len(bkeys):
+                    keys = w1 * V1 + w2
+                    pos = np.searchsorted(bkeys, keys)
+                    pos_c = np.minimum(pos, len(bkeys) - 1)
+                    hit = (pos < len(bkeys)) & (bkeys[pos_c] == keys)
+                    lp = np.where(hit, bvals[pos_c], back_arr[w2]) - den_arr[w1]
+                else:
+                    lp = back_arr[w2] - den_arr[w1]
+                # zero out pairs that cross doc boundaries (position
+                # ends[r]-1 pairs the last token of doc r with the first
+                # of doc r+1)
+                cross = ends[:-1][(ends[:-1] > 0) & (ends[:-1] < len(ids_flat))]
+                lp[cross - 1] = 0
+                cs = np.zeros(len(lp) + 1, dtype=np.int64)
+                np.cumsum(lp, dtype=np.int64, out=cs[1:])
+                # clamp: a trailing empty doc has starts == ends ==
+                # len(ids_flat), one past the last prefix-sum slot; its
+                # clamped start==end still yields the required 0
+                sum_starts = np.minimum(starts, len(lp))
+                sum_ends = np.minimum(np.maximum(ends - 1, starts), len(lp))
+                sums = cs[sum_ends] - cs[sum_starts]
+            else:
+                sums = np.zeros(n_rows, dtype=np.int64)
+            nbg = np.maximum(lens - 1, 0)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(nbg), pa.array(sums)],
+                [id_col, "n_bigrams", "_sum_lp_l"],
+            )
+
+    scored = staged.mapInArrow(
+        kernel, f"{id_col} {id_t}, n_bigrams bigint, _sum_lp_l bigint"
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(
+                (-_unscaled_to_decimal(F.col("_sum_lp_l")).cast("double"))
+                / F.col("n_bigrams"),
+                4,
+            ),
+        ).alias("mean_nll"),
+    )
+
+
+def _lm_score_native(
+    docs: DataFrame,
+    vocab: DataFrame,
+    bigram_l: DataFrame,
+    backoff_l: DataFrame,
+    denom_l: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The all-JVM scoring tail (cross-check form of lm_mean_nll's Arrow
+    kernel): interpreted zip_with bigram fan-out, vocab/unk mapping via
+    broadcast joins, unscaled-bigint doc sum, left join back."""
+    from psyndex2linkeddata_spark.operators.retrieval import _unscaled_to_decimal
+
     dtoks = docs.select(
         F.col(id_col), tokenize_terms(F.col(text_col)).alias("_toks")
     )
@@ -192,21 +351,6 @@ def lm_mean_nll(
             F.when(F.col("_i2").isNotNull(), F.col("rw2")).otherwise(F.lit(UNK)).alias("w2"),
         )
     )
-    # score with UNSCALED bigints of the decimal(20,10) model logs —
-    # converted once per (tiny) model row, summed as longs across the
-    # corpus bigram stream, reconstructed exactly for the output (the
-    # operators/retrieval pattern; |log| < 10^6 so every cast is exact
-    # and a doc's sum stays far inside bigint)
-    from psyndex2linkeddata_spark.operators.retrieval import _unscaled_to_decimal
-
-    def _l(c: str):
-        return (
-            F.col(c).cast("decimal(16,10)") * F.lit(10_000_000_000)
-        ).cast("long")
-
-    bigram_l = bigram.select("w1", "w2", _l("l_num").alias("_num_l"))
-    backoff_l = backoff.select("w2", _l("l_backoff").alias("_back_l"))
-    denom_l = denom.select("w1", _l("l_denom").alias("_den_l"))
     scored = (
         dbg.join(F.broadcast(bigram_l), ["w1", "w2"], "left")
         .join(F.broadcast(backoff_l), "w2")

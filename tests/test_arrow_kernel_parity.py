@@ -89,6 +89,38 @@ def test_hashed_ngram_counts_arrow_matches_native(corpus):
     assert a.count() == b.count()
 
 
+def test_lm_scoring_kernel_matches_native(corpus):
+    from psyndex2linkeddata_spark.operators.lm import lm_mean_nll
+
+    model = corpus.where(F.col("doc_id") % 7 == 0)
+    a = lm_mean_nll(corpus, model, vocab_size=16, alpha=0.5)
+    b = lm_mean_nll(corpus, model, vocab_size=16, alpha=0.5, scoring="native")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() == corpus.count()
+
+
+def test_nb_scoring_kernel_matches_native(corpus):
+    from psyndex2linkeddata_spark.operators.classify import (
+        nb_scores,
+        nb_scores_native,
+        nb_train,
+    )
+
+    labeled = corpus.select(
+        "doc_id",
+        F.concat(F.lit("l"), (F.col("doc_id") % 3).cast("string")).alias(
+            "label"
+        ),
+        "text",
+    )
+    model, priors = nb_train(labeled, alpha=1.0)
+    a = nb_scores(corpus, model, priors)
+    b = nb_scores_native(corpus, model, priors)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 def test_rolling_fp_kernel_matches_expression(corpus):
     from psyndex2linkeddata_spark.functions.textstats import with_rolling_fp
     from psyndex2linkeddata_spark.operators.dedup import norm_text, shingle_array
