@@ -121,6 +121,43 @@ def test_nb_scoring_kernel_matches_native(corpus):
     assert b.exceptAll(a).count() == 0
 
 
+def test_connected_components_contraction_matches_loop(spark):
+    import random
+
+    from psyndex2linkeddata_spark.operators.components import (
+        _connected_components_loop,
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randint(0, 2000), rng.randint(0, 2000)) for _ in range(4000)]
+    edges += [(i, i + 1) for i in range(3000, 3050)]  # 50-node chain
+    edges += [(5, 5), (7, 7)]  # self loops
+    edges += edges[:100]  # duplicates
+    # max_iter=60 so the pure loop converges on the chain: the kernel
+    # version computes the TRUE closure; equality is the loop's
+    # converged fixpoint
+    for schema, mk in (
+        ("src long, dst long", lambda u, v: (u, v)),
+        ("src string, dst string", lambda u, v: (f"uri:{u}", f"uri:{v}")),
+    ):
+        d = spark.createDataFrame(
+            [mk(u, v) for u, v in edges], schema
+        ).repartition(7)
+        a = connected_components(d, max_iter=60).withColumnRenamed(
+            "component", "ca"
+        )
+        b = _connected_components_loop(d, max_iter=60).withColumnRenamed(
+            "component", "cb"
+        )
+        j = a.join(b, "node", "full")
+        bad = j.where(
+            F.col("ca").isNull() | F.col("cb").isNull() | (F.col("ca") != F.col("cb"))
+        )
+        assert bad.count() == 0
+        assert a.count() == b.count() > 0
+
+
 def test_rolling_fp_kernel_matches_expression(corpus):
     from psyndex2linkeddata_spark.functions.textstats import with_rolling_fp
     from psyndex2linkeddata_spark.operators.dedup import norm_text, shingle_array
