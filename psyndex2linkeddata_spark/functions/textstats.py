@@ -228,6 +228,106 @@ def repetition_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> "DataFrame":
+    """Gopher-style repetition signals — dispatches to the Arrow kernel;
+    the all-JVM form is kept as `repetition_stats_native` (cross-check,
+    pinned bit-equal by tests/test_arrow_kernel_parity). The kernel
+    consumes the JVM-staged case-preserving whitespace-collapsed text
+    and emits the INTEGER stats only (token count, distinct-token count,
+    mode bigram count, bigram count) — splitting its bytes on the space
+    byte reproduces Spark's split(trim, '\\s+') including the
+    leading/trailing empty-token and the gram_array leading-space
+    duplication quirks (see operators/dedup._minhash_signatures_arrow);
+    byte equality == the JVM's string equality, and a sorted array's
+    longest equal run IS the multiset mode count. The divisions and
+    round(…, 4) stay the identical JVM expressions."""
+    return _repetition_stats_arrow(df, id_col, text_col)
+
+
+def _repetition_stats_arrow(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    import pyarrow as pa
+
+    norm_case = F.regexp_replace(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+    )
+    staged = df.select(F.col(id_col), norm_case.alias("_nc"))
+    id_t = staged.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        from collections import Counter
+
+        for b in batches:
+            ids = b.column(0)
+            norms = b.column(1).cast(pa.binary()).to_pylist()
+            if not norms:
+                continue
+            n_l, nd_l, mr_l, nb_l = [], [], [], []
+            for nb in norms:
+                raw = nb.split(b" ") if nb else []
+                n_l.append(len(raw))
+                nd_l.append(len(set(raw)))
+                toks = [t for t in raw if t]
+                if len(toks) >= 2:
+                    if nb.startswith(b" "):
+                        # gram_array's leading-space quirk: both offsets
+                        # degenerate to offset 0 and CONCAT duplicates
+                        # the stride-2 windows
+                        wins = [
+                            b" ".join(toks[i : i + 2])
+                            for i in range(0, len(toks) - 1, 2)
+                        ]
+                        bigr = wins + wins
+                    else:
+                        bigr = [
+                            b" ".join(toks[i : i + 2])
+                            for i in range(len(toks) - 1)
+                        ]
+                    mr_l.append(max(Counter(bigr).values()))
+                    nb_l.append(len(bigr))
+                else:
+                    mr_l.append(0)
+                    nb_l.append(0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(n_l, pa.int32()),
+                    pa.array(nd_l, pa.int32()),
+                    pa.array(mr_l, pa.int32()),
+                    pa.array(nb_l, pa.int32()),
+                ],
+                [id_col, "_n", "_nd", "_mr", "_nb"],
+            )
+
+    stats = staged.mapInArrow(
+        kernel, f"{id_col} {id_t}, _n int, _nd int, _mr int, _nb int"
+    )
+    return stats.select(
+        F.col(id_col),
+        F.when(
+            F.col("_n") > 0,
+            F.round(
+                (F.col("_n") - F.col("_nd")) / F.col("_n").cast("double"), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+        F.when(
+            F.col("_nb") > 0,
+            F.round(F.col("_mr") / F.col("_nb").cast("double"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
+def repetition_stats_native(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
     """Gopher-style within-document repetition signals (Rae et al. 2021,
     §A1.1 repetition filters): (id, dup_word_frac, top_bigram_frac).
 

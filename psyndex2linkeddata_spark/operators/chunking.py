@@ -90,6 +90,95 @@ def cdc_chunks(
     k: int = 3,
     divisor: int = 8,
 ) -> DataFrame:
+    """Content-defined chunking — dispatches to the Arrow kernel
+    (`_cdc_chunks_arrow`); the per-row HOF plan is kept as
+    `cdc_chunks_native` (cross-check, pinned bit-equal by
+    tests/test_arrow_kernel_parity). Kernel exactness: the JVM stages
+    the case-preserving whitespace-collapsed text (trim + \\s+ → one
+    space — Unicode/regex semantics stay in Catalyst); splitting its
+    UTF-8 bytes on the space byte WITH empties kept reproduces Spark's
+    split(trim(text), '\\s+') exactly (leading non-space whitespace
+    yields the same leading empty token, Spark's limit=-1 keeps the same
+    trailing empty), boundary decisions hash the same b\" \"-joined
+    k-gram bytes through md5 (first 32 digest bits mod divisor — the
+    general _gram_hash32 rule, which the divisor∣16 hex-char shortcut
+    equals by construction), and chunk texts are the same single-space
+    joins. Replaces the interpreted per-(row, position) HOF tower with
+    a per-batch Python loop over ~n_tokens md5 calls."""
+    return _cdc_chunks_arrow(df, id_col, text_col, k, divisor)
+
+
+def _cdc_chunks_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    import pyarrow as pa
+
+    norm_case = F.regexp_replace(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+    )
+    staged = df.select(F.col(id_col), norm_case.alias("_nc"))
+    id_t = staged.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        from hashlib import md5
+
+        for b in batches:
+            ids = b.column(0)
+            norms = b.column(1).cast(pa.binary()).to_pylist()
+            if not norms:
+                continue
+            out_idx: list = []
+            out_cid: list = []
+            out_txt: list = []
+            out_ntk: list = []
+            for r, nb in enumerate(norms):
+                toks = nb.split(b" ") if nb else []
+                n = len(toks)
+                edges = [0]
+                if n - 1 >= k:
+                    sep = b" "
+                    for i in range(k, n):
+                        g = sep.join(toks[i - k : i])
+                        if (
+                            int.from_bytes(md5(g).digest()[:4], "big")
+                            % divisor
+                            == 0
+                        ):
+                            edges.append(i)
+                edges.append(n)
+                for j in range(len(edges) - 1):
+                    piece = toks[edges[j] : edges[j + 1]]
+                    out_idx.append(r)
+                    out_cid.append(j)
+                    out_txt.append(b" ".join(piece))
+                    out_ntk.append(len(piece))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(out_idx, pa.int64())),
+                    pa.array(out_cid, pa.int64()),
+                    pa.array(out_txt, pa.binary()).cast(pa.string()),
+                    pa.array(out_ntk, pa.int64()),
+                ],
+                [id_col, "chunk_id", "chunk_text", "n_tokens"],
+            )
+
+    return staged.mapInArrow(
+        kernel,
+        f"{id_col} {id_t}, chunk_id long, chunk_text string, n_tokens long",
+    )
+
+
+def cdc_chunks_native(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
     """Content-defined chunking: a boundary falls AFTER token i whenever
     the hash of the k-gram ending at i ≡ 0 (mod divisor) — expected
     chunk length = `divisor` tokens.

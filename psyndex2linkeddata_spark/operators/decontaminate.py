@@ -45,7 +45,77 @@ def contaminated_ids(
     bench_text_col: str = "text",
     broadcast_bench: bool = True,
 ) -> DataFrame:
-    """Distinct ids of docs sharing ≥1 word n-gram with `benchmark`."""
+    """Distinct ids of docs sharing ≥1 word n-gram with `benchmark`.
+
+    broadcast_bench=True (the scale default — benchmark suites are tiny
+    next to the corpus, the same bound that let the native plan
+    broadcast the gram set) dispatches to an Arrow kernel: the benchmark
+    gram set is collected once into a Python set of UTF-8 byte strings
+    and each document's n-gram windows are probed against it with an
+    early exit on the first hit — the corpus-side explode, the
+    broadcast semi-join and the distinct all disappear, and each
+    contaminated id is emitted exactly once. Gram construction is the
+    byte-slice replication of shingle_array (see
+    operators/dedup._minhash_signatures_arrow — n ≥ 4 uses the
+    quirk-free lookahead semantics; n ≤ 3 replicates the leading-space
+    stride); set membership is byte equality == the JVM's string
+    equality. Pinned bit-equal to the native form
+    (`contaminated_ids_native`) by tests/test_arrow_kernel_parity.
+    broadcast_bench=False keeps the shuffle semi-join for oversized
+    benchmark sets."""
+    if not broadcast_bench:
+        return contaminated_ids_native(
+            docs, benchmark, n, id_col, text_col, bench_text_col, False
+        )
+    import pyarrow as pa
+
+    bench_grams = _grams(benchmark, bench_text_col, n, []).distinct()
+    bench_set = {
+        r["_gram"].encode() for r in bench_grams.collect()
+    }
+    staged = docs.select(
+        F.col(id_col), norm_text(F.col(text_col)).alias("_norm")
+    )
+    id_t = staged.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        for b in batches:
+            ids = b.column(0)
+            norms = b.column(1).cast(pa.binary()).to_pylist()
+            if not norms:
+                continue
+            hit_idx: list = []
+            for r, nb in enumerate(norms):
+                toks = [t for t in nb.split(b" ") if t]
+                if len(toks) >= n:
+                    if n <= 3 and nb.startswith(b" "):
+                        rng = range(0, len(toks) - n + 1, n)
+                    else:
+                        rng = range(len(toks) - n + 1)
+                    for i in rng:
+                        if b" ".join(toks[i : i + n]) in bench_set:
+                            hit_idx.append(r)
+                            break
+                elif nb in bench_set:
+                    hit_idx.append(r)
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(hit_idx, pa.int64()))], [id_col]
+            )
+
+    return staged.mapInArrow(kernel, f"{id_col} {id_t}")
+
+
+def contaminated_ids_native(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """The all-JVM explode + semi-join form of contaminated_ids
+    (cross-check / oversized-benchmark fallback)."""
     bench_grams = _grams(benchmark, bench_text_col, n, []).distinct()
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)

@@ -259,7 +259,10 @@ def _minhash_signatures_arrow(
                 toks = [t for t in nb.split(b" ") if t]
                 row = None
                 if len(toks) >= n:
-                    stride = n if nb.startswith(b" ") else 1
+                    # the leading-space offset-strip quirk exists only on
+                    # the n<=3 interleave path; n>=4 uses the lookahead
+                    # regex, which yields every window regardless
+                    stride = n if (n <= 3 and nb.startswith(b" ")) else 1
                     for i in range(0, len(toks) - n + 1, stride):
                         sb = b" ".join(toks[i : i + n])
                         got = cache.get(sb)

@@ -56,10 +56,10 @@ def corpus(spark):
     return d.repartition(5)
 
 
-@pytest.mark.parametrize("num_hashes", [8, 16])
-def test_minhash_signatures_arrow_matches_native(corpus, num_hashes):
-    a = _minhash_signatures_arrow(corpus, num_hashes=num_hashes, n=3)
-    b = minhash_signatures_native(corpus, num_hashes=num_hashes, n=3)
+@pytest.mark.parametrize("num_hashes,n", [(8, 3), (16, 3), (8, 5)])
+def test_minhash_signatures_arrow_matches_native(corpus, num_hashes, n):
+    a = _minhash_signatures_arrow(corpus, num_hashes=num_hashes, n=n)
+    b = minhash_signatures_native(corpus, num_hashes=num_hashes, n=n)
     j = a.withColumnRenamed("_sig", "sa").join(
         b.withColumnRenamed("_sig", "sb"), "doc_id", "full"
     )
@@ -156,6 +156,48 @@ def test_connected_components_contraction_matches_loop(spark):
         )
         assert bad.count() == 0
         assert a.count() == b.count() > 0
+
+
+@pytest.mark.parametrize("k,divisor", [(3, 8), (2, 5)])
+def test_cdc_chunks_kernel_matches_native(corpus, k, divisor):
+    from psyndex2linkeddata_spark.operators.chunking import (
+        cdc_chunks,
+        cdc_chunks_native,
+    )
+
+    a = cdc_chunks(corpus, k=k, divisor=divisor)
+    b = cdc_chunks_native(corpus, k=k, divisor=divisor)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() == b.count() > 0
+
+
+def test_repetition_stats_kernel_matches_native(corpus):
+    from psyndex2linkeddata_spark.functions.textstats import (
+        repetition_stats,
+        repetition_stats_native,
+    )
+
+    a = repetition_stats(corpus)
+    b = repetition_stats_native(corpus)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() == corpus.count()
+
+
+@pytest.mark.parametrize("n", [8, 3])
+def test_contaminated_ids_kernel_matches_native(corpus, n):
+    from psyndex2linkeddata_spark.operators.decontaminate import (
+        contaminated_ids,
+        contaminated_ids_native,
+    )
+
+    bench = corpus.where(F.col("doc_id") % 11 == 0).select("text")
+    a = contaminated_ids(corpus, bench, n=n)
+    b = contaminated_ids_native(corpus, bench, n=n)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() == b.count() > 0
 
 
 def test_rolling_fp_kernel_matches_expression(corpus):
