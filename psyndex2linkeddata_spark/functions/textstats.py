@@ -408,6 +408,74 @@ def with_top_bigram_frac(
     df: "DataFrame", text_col: str = "text", out_col: str = "top_bigram_frac"
 ) -> "DataFrame":
     """Append the per-row top-bigram fraction, preserving all other
+    columns — dispatches to the Arrow kernel; the all-JVM sorted-run
+    form is kept as `with_top_bigram_frac_native` (cross-check, pinned
+    bit-equal by tests/test_arrow_kernel_parity). The kernel is the
+    repetition_stats one minus the distinct-token stats: integer
+    (mode-bigram, bigram) counts from the byte-split of the JVM-staged
+    whitespace-collapsed text — HERE over the RAW token sequence with
+    Spark's empty leading/trailing split tokens kept, exactly the
+    concat_ws bigrams of chunking.tokens — with the division and
+    round(…, 4) left as the identical JVM expressions. The pushdown
+    hazard of the native form (see its tail comment) cannot occur: the
+    kernel's outputs are real attributes behind an opaque Python node,
+    which PushPredicateThroughNonJoin never substitutes into."""
+    import pyarrow as pa
+
+    keep = df.columns
+    norm_case = F.regexp_replace(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+    )
+    staged = df.select("*", norm_case.alias("__tbf_nc"))
+    fields = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in keep]
+        + ["__tbf_mr int", "__tbf_nb int"]
+    )
+
+    def kernel(batches):
+        from collections import Counter
+
+        for b in batches:
+            names = b.schema.names
+            norms = (
+                b.column(names.index("__tbf_nc")).cast(pa.binary()).to_pylist()
+            )
+            if not norms:
+                continue
+            mr_l, nb_l = [], []
+            for nb in norms:
+                raw = nb.split(b" ") if nb else []
+                if len(raw) >= 2:
+                    bigr = [
+                        b" ".join(raw[i : i + 2]) for i in range(len(raw) - 1)
+                    ]
+                    mr_l.append(max(Counter(bigr).values()))
+                    nb_l.append(len(bigr))
+                else:
+                    mr_l.append(0)
+                    nb_l.append(0)
+            cols = [b.column(names.index(c)) for c in keep] + [
+                pa.array(mr_l, pa.int32()),
+                pa.array(nb_l, pa.int32()),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols, keep + ["__tbf_mr", "__tbf_nb"]
+            )
+
+    stats = staged.mapInArrow(kernel, fields)
+    frac = F.when(
+        F.col("__tbf_nb") > 0,
+        F.round(
+            F.col("__tbf_mr") / F.col("__tbf_nb").cast("double"), 4
+        ),
+    ).otherwise(F.lit(0.0))
+    return stats.select(*keep, frac.alias(out_col))
+
+
+def with_top_bigram_frac_native(
+    df: "DataFrame", text_col: str = "text", out_col: str = "top_bigram_frac"
+) -> "DataFrame":
+    """Append the per-row top-bigram fraction, preserving all other
     columns — the filter-friendly form of the repetition_stats signal
     (same staged sorted-run computation, zero shuffles)."""
     from psyndex2linkeddata_spark.operators.chunking import tokens

@@ -174,16 +174,10 @@ def _bm25_per_posting(
     deployment amortizes by persisting `bm25_scores`'s checkpointed
     postings across query batches. None (default) scores every term —
     the oracle-gated exact mode."""
-    toks = (
-        docs.select(F.col(id_col), tokenize_terms(F.col(text_col)).alias("_toks"))
-        .withColumn("dl", F.size("_toks"))
-        .where(F.col("dl") > 0)
-    )
-    # corpus scalars: exact long sum + one double division (identical
-    # arithmetic in DuckDB, unlike engine-specific avg() internals)
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
+    # the Arrow postings kernel below replaces the tokenize→explode
+    # subtree entirely; the corpus scalars (n_docs over dl>0 docs,
+    # sum_dl — exact long sum + one double division, identical in
+    # DuckDB) come from its per-doc marker rows
     qterms = queries.select(
         query_id_col, F.explode(tokenize_terms(F.col(query_text_col))).alias("term")
     ).distinct()
@@ -203,21 +197,85 @@ def _bm25_per_posting(
     from psyndex2linkeddata_spark.operators.skew import fanout_partitions
 
     n_parts = fanout_partitions(docs)
-    postings = (
-        toks.select(id_col, "dl", F.explode("_toks").alias("term"))
-        .join(F.broadcast(qvocab), "term")
-        .repartition(n_parts, id_col)
-        .groupBy(id_col, "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # Arrow postings kernel (r06 second wave): the query vocabulary is
+    # collected once (broadcast-sized by this operator's contract — the
+    # top-k scorer already collects the full (query, term) mask), and
+    # the kernel emits the (id, dl, term, tf) grain FINAL, counting each
+    # document's in-vocab terms per batch: the [^a-z0-9]+ term split is
+    # replicated byte-exactly on the JVM-lowered text (see
+    # operators/lm.lm_mean_nll — token bytes are pure ASCII alnum),
+    # vocab membership is byte equality (the semi-join's behavior), so
+    # the tokenize→explode→semi-join→repartition→groupBy pipeline
+    # disappears. One extra null-term marker row per non-empty doc
+    # carries (n_docs, sum_dl) so the corpus scalars need no second
+    # tokenization pass. Pinned bit-equal to the native build by
+    # tests/test_arrow_kernel_parity.
+    qvocab_set = {r["term"].encode() for r in qvocab.collect()}
+    sep = bytes(
+        c if chr(c) in "abcdefghijklmnopqrstuvwxyz0123456789" else 0x20
+        for c in range(256)
+    )
+    staged = docs.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("_low")
+    )
+    id_t = staged.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        import pyarrow as pa
+        from collections import Counter
+
+        for bt in batches:
+            ids = bt.column(0)
+            lows = bt.column(1).cast(pa.binary()).to_pylist()
+            if not lows:
+                continue
+            out_idx: list = []
+            out_dl: list = []
+            out_term: list = []
+            out_tf: list = []
+            for r, nb in enumerate(lows):
+                tk = (nb or b"").translate(sep).split()
+                dl = len(tk)
+                if dl == 0:
+                    continue
+                out_idx.append(r)
+                out_dl.append(dl)
+                out_term.append(None)
+                out_tf.append(0)
+                cnt = Counter(t for t in tk if t in qvocab_set)
+                for term, tf in cnt.items():
+                    out_idx.append(r)
+                    out_dl.append(dl)
+                    out_term.append(term)
+                    out_tf.append(tf)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(out_idx, pa.int64())),
+                    pa.array(out_dl, pa.int32()),
+                    pa.array(out_term, pa.binary()).cast(pa.string()),
+                    pa.array(out_tf, pa.int64()),
+                ],
+                [id_col, "dl", "term", "tf"],
+            )
+
+    krows = staged.mapInArrow(
+        kernel, f"{id_col} {id_t}, dl int, term string, tf bigint"
     )
     if barrier:
-        # Under AQE a localCheckpoint comes back as UnknownPartitioning,
-        # which would force a corpus-candidate-sized exchange under the
-        # (query, doc) aggregation; re-asserting the doc partitioning on
-        # the materialized table is one posting-sized (small) exchange.
-        postings = postings.localCheckpoint(eager=False).repartition(
-            n_parts, id_col
-        )
+        # one execution feeds the df(term) rollup, the corpus scalars
+        # AND the scoring join; the repartition re-establishes the
+        # doc-keyed clustering the downstream (query, doc) / posting-
+        # list aggregations rely on (a checkpoint comes back as
+        # UnknownPartitioning)
+        krows = krows.localCheckpoint(eager=False)
+    stats = (
+        krows.where(F.col("term").isNull())
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    )
+    postings = (
+        krows.where(F.col("term").isNotNull())
+        .repartition(n_parts, id_col)
+    )
     dft = (
         postings.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))

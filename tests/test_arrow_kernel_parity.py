@@ -200,6 +200,19 @@ def test_contaminated_ids_kernel_matches_native(corpus, n):
     assert a.count() == b.count() > 0
 
 
+def test_with_top_bigram_frac_kernel_matches_native(corpus):
+    from psyndex2linkeddata_spark.functions.textstats import (
+        with_top_bigram_frac,
+        with_top_bigram_frac_native,
+    )
+
+    a = with_top_bigram_frac(corpus)
+    b = with_top_bigram_frac_native(corpus)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.columns == b.columns
+
+
 def test_rolling_fp_kernel_matches_expression(corpus):
     from psyndex2linkeddata_spark.functions.textstats import with_rolling_fp
     from psyndex2linkeddata_spark.operators.dedup import norm_text, shingle_array
