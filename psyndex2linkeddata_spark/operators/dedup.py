@@ -254,6 +254,8 @@ def _minhash_signatures_arrow(
             n_rows = len(norms)
             if n_rows == 0:
                 continue
+            if len(cache) > 4_000_000:  # bound per-task memory on
+                cache.clear()           # real-web vocabularies
             mins = np.empty((n_rows, num_hashes), dtype=np.uint32)
             for r, nb in enumerate(norms):
                 toks = [t for t in nb.split(b" ") if t]
@@ -645,6 +647,8 @@ def _simhash_hex_table_arrow(
             n_rows = len(norms)
             if n_rows == 0:
                 continue
+            if len(cache) > 4_000_000:  # bound per-task memory on
+                cache.clear()           # real-web vocabularies
             sums = np.zeros((n_rows, 32), dtype=np.int64)
             for r, nb in enumerate(norms):
                 acc = None

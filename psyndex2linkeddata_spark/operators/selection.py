@@ -131,6 +131,8 @@ def _hashed_ngram_counts_arrow(
             norms = b.column(1).cast(pa.binary()).to_pylist()
             if len(norms) == 0:
                 continue
+            if len(cache) > 4_000_000:  # bound per-task memory on
+                cache.clear()           # real-web vocabularies
             docidx: list = []
             buckets: list = []
             for r, nb in enumerate(norms):
