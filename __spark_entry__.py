@@ -764,25 +764,22 @@ def q_lang_id(spark, sf):
 
 def q_lang_id_ngram(spark, sf):
     """F5 full tier: trigram-profile language ID (en/de/fr/es/it/nl) —
-    one JVM-side regexp_count per language over the lowercased text,
-    argmax with first-in-table tie-break. The per-language hit counts are
-    in the output so the oracle pins the votes, not just the winner."""
-    from psyndex2linkeddata_spark.functions.textstats import lang_ngram_counts
+    per-language non-overlapping profile-trigram counts over the
+    lowercased text, argmax with first-in-table tie-break. The counts
+    come from the lang_ngram_counts_table Arrow kernel (r06 second
+    wave; bit-equal to the six JVM regexp_count scans — literal
+    alternations count identically in both engines, pinned by
+    tests/test_arrow_kernel_parity); the argmax when-chain runs on the
+    staged count attributes exactly as before. The per-language hit
+    counts are in the output so the oracle pins the votes, not just the
+    winner."""
+    from psyndex2linkeddata_spark.functions.textstats import (
+        lang_ngram_counts_table,
+    )
 
     d = _t(spark, sf, "documents")
-    counts = lang_ngram_counts(F.col("text"))
     langs = [lang for lang, _ in _ngram_profiles()]
-    # stage the six regexp_count columns as attributes and derive the
-    # argmax from THEM (r06): the when-chain references every count up
-    # to 7×, and relying on codegen subexpression elimination left six
-    # full regex scans plus re-evaluations in the plan — with staged
-    # attributes each scan runs exactly once (CollapseProject keeps
-    # multi-referenced non-cheap aliases staged). Same counts, same
-    # >=-chain, same tie-break — bit-identical output.
-    staged = d.select(
-        "doc_id",
-        *[counts[lang].alias(f"c_{lang}") for lang in langs],
-    )
+    staged = lang_ngram_counts_table(d, "doc_id", "text")
     result = None
     for lang in langs:
         c = F.col(f"c_{lang}")

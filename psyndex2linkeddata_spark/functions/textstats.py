@@ -111,6 +111,58 @@ def lang_ngram_counts(col: Column) -> dict[str, Column]:
     }
 
 
+def lang_ngram_counts_table(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, c_<lang>…) — the per-language non-overlapping profile-trigram
+    hit counts as one mapInArrow kernel (r06 second Arrow wave),
+    bit-equal to six JVM regexp_count columns (`lang_ngram_counts`, the
+    cross-check — pinned by tests/test_arrow_kernel_parity).
+
+    Exactness: the profile patterns are alternations of LITERAL 3-char
+    strings (no metacharacters), and both Java's and Python's regex
+    engines count non-overlapping matches with the same leftmost-
+    position, first-alternative rule, advancing past each match — over
+    the same bytes (lower() stays a JVM expression; the one non-ASCII
+    literal, 'ión', is matched as its UTF-8 bytes, which cannot match
+    mid-codepoint since its lead/continuation bytes never align with a
+    different character's). Java's alternation scan was the cost: six
+    interpreted regex passes per row (~70× slower than CPython's sre on
+    these literal alternations, measured)."""
+    import pyarrow as pa
+
+    langs = [lang for lang, _ in _NGRAM_PROFILES]
+    pats = {
+        lang: "|".join(tris).encode() for lang, tris in _NGRAM_PROFILES
+    }
+    staged = df.select(
+        F.col(id_col),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_low"),
+    )
+    id_t = staged.schema[id_col].dataType.simpleString()
+    fields = ", ".join(
+        [f"{id_col} {id_t}"] + [f"c_{lang} int" for lang in langs]
+    )
+
+    def kernel(batches):
+        import re
+
+        cpats = [(lang, re.compile(p)) for lang, p in pats.items()]
+        for b in batches:
+            ids = b.column(0)
+            lows = b.column(1).cast(pa.binary()).to_pylist()
+            if not lows:
+                continue
+            cols = {lang: [] for lang in langs}
+            for nb in lows:
+                for lang, p in cpats:
+                    cols[lang].append(len(p.findall(nb)))
+            yield pa.RecordBatch.from_arrays(
+                [ids] + [pa.array(cols[lang], pa.int32()) for lang in langs],
+                [id_col] + [f"c_{lang}" for lang in langs],
+            )
+
+    return staged.mapInArrow(kernel, fields)
+
+
 def lang_id_ngram(col: Column) -> Column:
     """Trigram-profile language guess over `_NGRAM_PROFILES` (en, de, fr,
     es, it, nl) — argmax of profile hits, first-in-table wins ties, 'und'

@@ -213,6 +213,35 @@ def test_with_top_bigram_frac_kernel_matches_native(corpus):
     assert a.columns == b.columns
 
 
+def test_lang_ngram_counts_kernel_matches_native(corpus):
+    from psyndex2linkeddata_spark.functions.textstats import (
+        _NGRAM_PROFILES,
+        lang_ngram_counts,
+        lang_ngram_counts_table,
+    )
+
+    # seed texts with real profile trigrams incl. the non-ASCII 'ión'
+    extra = corpus.sparkSession.createDataFrame(
+        [
+            (910001, "the thing of the nation was ing ing"),
+            (910002, "der die und schlecht ich ein ung"),
+            (910003, "nación acción que los ado una"),
+            (910004, "thethething ionion"),  # overlapping candidates
+        ],
+        "doc_id long, text string",
+    )
+    d = corpus.unionByName(extra)
+    counts = lang_ngram_counts(F.col("text"))
+    langs = [lang for lang, _ in _NGRAM_PROFILES]
+    b = d.select(
+        "doc_id", *[counts[lang].alias(f"c_{lang}") for lang in langs]
+    )
+    a = lang_ngram_counts_table(d)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() == d.count()
+
+
 def test_rolling_fp_kernel_matches_expression(corpus):
     from psyndex2linkeddata_spark.functions.textstats import with_rolling_fp
     from psyndex2linkeddata_spark.operators.dedup import norm_text, shingle_array
