@@ -653,10 +653,20 @@ def semantic_dedup(
         F.col("_nrm").alias("_nb"),
     )
     if scorer == "arrow":
-        # vectorized matmul kernel per cell (see semantic_pairs_arrow) —
-        # the deployment path; the native expression scorer below is the
-        # engine-replayable one the oracle gates
-        pairs = semantic_pairs_arrow(withc, threshold, id_col, vec_col)
+        # Fused cluster kernel (r06 second wave): the pair graph is
+        # CELL-CONFINED by construction (a vector belongs to exactly one
+        # cell and pairs only form within cells), so connected
+        # components can never span cells — the transitive closure is
+        # computed inside the same per-cell kernel that scores the
+        # pairs (semantic_clusters_arrow: the gate-exact gemm +
+        # boundary re-decide of semantic_pairs_arrow, then a local
+        # union-find whose labels are the component minima by id
+        # value). The 7.9M-pair table, its checkpoint and the whole
+        # distributed closure disappear; cluster ids are identical (min
+        # member id per component — algorithm-independent). The native
+        # scorer path below keeps the pairs→connected_components shape
+        # as the engine-replayable cross-check the oracle gates.
+        cl = semantic_clusters_arrow(withc, threshold, id_col, vec_col)
     else:
         pairs = (
             a.join(b, ["cell"])
@@ -667,16 +677,16 @@ def semantic_dedup(
             )
             .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
         )
-    cc = connected_components_star if use_star else connected_components
-    comp = cc(pairs, src="id_a", dst="id_b")
-    cl = (
-        withc.join(comp, F.col(id_col) == F.col("node"), "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
-            F.col("_ccos"),
+        cc = connected_components_star if use_star else connected_components
+        comp = cc(pairs, src="id_a", dst="id_b")
+        cl = (
+            withc.join(comp, F.col(id_col) == F.col("node"), "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+                F.col("_ccos"),
+            )
         )
-    )
     keep = cl.groupBy("cluster_id").agg(
         F.min_by(F.col(id_col), F.struct(F.col("_ccos"), F.col(id_col))).alias(
             "canonical_id"
@@ -768,4 +778,91 @@ def semantic_pairs_arrow(
     id_t = withc.schema[id_col].dataType.simpleString()
     return withc.groupBy("cell").applyInPandas(
         _pairs, f"id_a {id_t}, id_b {id_t}"
+    )
+
+
+def semantic_clusters_arrow(
+    withc: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    boundary_eps: float = 1e-6,
+) -> DataFrame:
+    """(id, cluster_id, _ccos) per vector — semantic_dedup's quadratic
+    stage AND its transitive closure fused into the per-cell kernel
+    (r06 second wave). Pair decisions are exactly
+    semantic_pairs_arrow's (gemm scores; boundary-band pairs re-decided
+    with the native scorer's sequential double arithmetic — pinned
+    equal by tests/test_operators and the oracle); a local union-find
+    (hash-to-min + pointer jumping over id-value ranks) then labels
+    each vector with its component's MINIMUM member id. Valid because
+    the pair graph is cell-confined by construction — a vector belongs
+    to exactly one cell, so no component spans cells and the per-cell
+    closure IS the global closure. _ccos passes through so the keeper
+    fold needs no join back."""
+    import math
+
+    import pandas as pd
+
+    def _clusters(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ids = pdf[id_col].to_numpy()
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = m / nrm
+        s = u @ u.T
+        ia, ib = np.where(np.triu(s >= threshold - boundary_eps, k=1))
+        sure = s[ia, ib] >= threshold + boundary_eps
+        border = ~sure
+        if border.any():
+            rows = m
+
+            def _native_keep(i: int, j: int) -> bool:
+                va, vb = rows[i], rows[j]
+                acc = 0.0
+                na = 0.0
+                nb = 0.0
+                for k in range(va.shape[0]):
+                    x = float(va[k])
+                    y = float(vb[k])
+                    acc = acc + x * y
+                    na = na + x * x
+                    nb = nb + y * y
+                return acc / (math.sqrt(na) * math.sqrt(nb)) >= threshold
+
+            keep = sure.copy()
+            for n in np.where(border)[0]:
+                keep[n] = _native_keep(int(ia[n]), int(ib[n]))
+            ia, ib = ia[keep], ib[keep]
+        n_rows = len(ids)
+        order = np.argsort(ids, kind="stable")
+        rank = np.empty(n_rows, dtype=np.int64)
+        rank[order] = np.arange(n_rows)
+        lab = np.arange(n_rows, dtype=np.int64)
+        if len(ia):
+            ru = rank[ia]
+            rv = rank[ib]
+            for _ in range(64):
+                mm = np.minimum(lab[ru], lab[rv])
+                before = lab.copy()
+                np.minimum.at(lab, ru, mm)
+                np.minimum.at(lab, rv, mm)
+                lab = lab[lab]
+                if np.array_equal(lab, before):
+                    break
+        ids_sorted = ids[order]
+        cluster = ids_sorted[lab[rank]]
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster_id": cluster,
+                "_ccos": pdf["_ccos"].to_numpy(),
+            }
+        )
+
+    id_t = withc.schema[id_col].dataType.simpleString()
+    return withc.groupBy("cell").applyInPandas(
+        _clusters, f"{id_col} {id_t}, cluster_id {id_t}, _ccos double"
     )

@@ -242,6 +242,31 @@ def test_lang_ngram_counts_kernel_matches_native(corpus):
     assert a.count() == d.count()
 
 
+def test_semantic_cluster_kernel_matches_native_scorer(spark):
+    import random
+
+    from psyndex2linkeddata_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(9)
+    centers = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(6)]
+    rows = []
+    for i in range(400):
+        c = centers[i % 6]
+        rows.append(
+            (i, [v + rng.uniform(-0.05, 0.05) for v in c], i % 6)
+        )
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).repartition(5)
+    a = semantic_dedup(e, n_cells=8, threshold=0.9, refine_iters=1)
+    b = semantic_dedup(
+        e, n_cells=8, threshold=0.9, refine_iters=1, scorer="native"
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() == 400
+
+
 def test_rolling_fp_kernel_matches_expression(corpus):
     from psyndex2linkeddata_spark.functions.textstats import with_rolling_fp
     from psyndex2linkeddata_spark.operators.dedup import norm_text, shingle_array
